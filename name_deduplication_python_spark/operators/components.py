@@ -1,0 +1,101 @@
+"""Distributed connected components: alternating large-star / small-star.
+
+Replaces the reference's driver-side union-find over a parent dict
+(/root/reference/analysis_engine.py:555-580) — fine at 10^5 nodes,
+impossible at 10^12 (SURVEY §4.3). This is the alternating algorithm of
+Kiveris et al., "Connected Components in MapReduce and Beyond" (SOCC'14,
+public): O(log^2 n) rounds of two DataFrame aggregations, each a single
+shuffle on node id. Labels are component minima, so the result is
+deterministic under any partitioning (SURVEY §7.5 determinism
+requirement). Lineage is cut with localCheckpoint every iteration.
+
+large-star: for each node u (edges taken bidirectionally), let
+  m = min({u} ∪ N(u)); emit (v, m) for every neighbor v > u.
+small-star: orient edges large->small; for each u let m = min(N(u));
+  emit (v, m) for v in N(u)\\{m} plus (u, m).
+
+Convergence: the edge multiset stops changing (checked via count +
+xxhash64 checksum — two scalars per iteration, no collect of edges).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    bi = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = bi.groupBy("src").agg(F.min("dst").alias("mn"))
+    return (
+        bi.join(mins, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(
+            F.col("dst").alias("src"),
+            F.least(F.col("src"), F.col("mn")).alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).where(F.col("src") != F.col("dst"))
+    mins = oriented.groupBy("src").agg(F.min("dst").alias("mn"))
+    joined = oriented.join(mins, "src")
+    part1 = joined.where(F.col("dst") != F.col("mn")).select(
+        F.col("dst").alias("src"), F.col("mn").alias("dst")
+    )
+    part2 = mins.select("src", F.col("mn").alias("dst"))
+    return part1.union(part2).distinct()
+
+
+def _checksum(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.coalesce(
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")), F.lit(0)
+        ).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iterations: int = 50,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """edges(src, dst) -> (url, cluster_id): every node that appears in an
+    edge, labeled with the minimum node id of its component."""
+    cur = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    cur = cur.localCheckpoint()
+    prev_sum = _checksum(cur)
+    for it in range(max_iterations):
+        cur = _small_star(_large_star(cur))
+        if checkpoint_every and (it % checkpoint_every == 0):
+            cur = cur.localCheckpoint()
+        cur_sum = _checksum(cur)
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    # converged star graph: src -> component min (dst); roots map to self
+    members = cur.select(F.col("src").alias("url"), F.col("dst").alias("cluster_id"))
+    roots = cur.select(F.col("dst").alias("url"), F.col("dst").alias("cluster_id")).distinct()
+    return members.union(roots).distinct()
+
+
+def components_with_singletons(
+    edges: DataFrame, all_ids: DataFrame, id_col: str = "url"
+) -> DataFrame:
+    """Assign every id a cluster: edge components get min-id labels,
+    untouched ids are their own singleton cluster (reference analog: rows
+    never matched stay unique, /root/reference/analysis_engine.py:649-663)."""
+    comp = connected_components(edges)
+    ids = all_ids.select(F.col(id_col).alias("url")).distinct()
+    return ids.join(comp, "url", "left").select(
+        "url", F.coalesce("cluster_id", "url").alias("cluster_id")
+    )

@@ -1,0 +1,130 @@
+"""LSH banding + candidate-pair generation (the blocked self-join).
+
+Reference semantics: J1 blocking-key generator + J2 inverted-index
+self-join (/root/reference/analysis_engine.py:418-437) — every record
+emits blocking keys, all C(n,2) pairs within a bucket become candidates.
+Here the keys are MinHash band hashes and the bucket pairing is an
+equi-self-join with explicit skew handling (the reference is single-
+process and has no skew story, SURVEY §4.2):
+
+  * singleton buckets are dropped BEFORE the join (a semi-join against
+    bucket counts) — at web scale most buckets are singletons;
+  * buckets <= bucket_cap get full C(n,2) pairing (exact, quadratic);
+  * hot buckets (> cap, boilerplate pages) get linear star+chain pairing:
+    every member pairs with the bucket minimum AND with its successor in
+    id order. Connectivity within the bucket is preserved (the chain),
+    so downstream connected components see the same clusters as full
+    pairing would WHEN the verifier keeps chain edges; recall impact is
+    measured in tests (tests/test_recall.py) and bucket stats are
+    returned for the metrics table.
+
+Everything is native DataFrame ops — band hashes via xxhash64 over
+signature slices, no UDFs at all in this stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def band_keys(
+    sigs: DataFrame,
+    id_col: str = "url",
+    bands: int = 25,
+    rows_per_band: int = 5,
+) -> DataFrame:
+    """sigs(id, minhash) -> (id, band, bh) — one row per (doc, band).
+
+    Band hash = xxhash64(band, sig[band*r : (band+1)*r]) computed natively.
+    Default 25 bands x 5 rows: P(candidate | J=0.8) = 1-(1-0.8^5)^25 =
+    0.99995 >= the 0.99 recall gate (16x8 would give only 0.947).
+    """
+    cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(F.lit(b), F.slice("minhash", b * rows_per_band + 1, rows_per_band)).alias(
+                "bh"
+            ),
+        )
+        for b in range(bands)
+    ]
+    return (
+        sigs.where(F.col("n_shingles") > 0)
+        .select(id_col, F.explode(F.array(*cols)).alias("bk"))
+        .select(id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    )
+
+
+def candidate_pairs(
+    keys: DataFrame,
+    id_col: str = "url",
+    bucket_cap: int = 64,
+) -> tuple[DataFrame, DataFrame]:
+    """(id, band, bh) -> canonical candidate pair DataFrame (src < dst).
+
+    Returns (pairs, bucket_stats). pairs is distinct across bands.
+    """
+    counts = keys.groupBy("band", "bh").agg(F.count("*").alias("n"))
+
+    bucket_stats = counts.groupBy().agg(
+        F.count("*").alias("n_buckets"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias("n_singleton"),
+        F.sum(F.when(F.col("n") > bucket_cap, 1).otherwise(0)).alias("n_hot"),
+        F.max("n").alias("max_bucket"),
+        F.sum(
+            F.when(F.col("n") > 1, F.col("n") * (F.col("n") - 1) / 2).otherwise(0)
+        ).alias("full_pairing_cost"),
+    )
+
+    multi = counts.where(F.col("n") > 1)
+    keyed = keys.join(multi, ["band", "bh"])  # drop singleton buckets pre-join
+
+    small = keyed.where(F.col("n") <= bucket_cap).drop("n")
+    hot = keyed.where(F.col("n") > bucket_cap).drop("n")
+
+    # full C(n,2) pairing for small buckets: equi-self-join on (band, bh)
+    a = small.select("band", "bh", F.col(id_col).alias("src"))
+    b = small.select("band", "bh", F.col(id_col).alias("dst"))
+    small_pairs = a.join(b, ["band", "bh"]).where(F.col("src") < F.col("dst"))
+
+    # hot buckets: linear star (to bucket min) + chain (to successor)
+    w = Window.partitionBy("band", "bh").orderBy(id_col)
+    ranked = hot.select(
+        "band",
+        "bh",
+        F.col(id_col),
+        F.min(id_col).over(Window.partitionBy("band", "bh")).alias("bmin"),
+        F.lead(id_col).over(w).alias("nxt"),
+    )
+    star = ranked.where(F.col(id_col) > F.col("bmin")).select(
+        "band", "bh", F.col("bmin").alias("src"), F.col(id_col).alias("dst")
+    )
+    chain = ranked.where(F.col("nxt").isNotNull() & (F.col(id_col) > F.col("bmin"))).select(
+        "band", "bh", F.col(id_col).alias("src"), F.col("nxt").alias("dst")
+    )
+
+    pairs = (
+        small_pairs.select("src", "dst")
+        .unionByName(star.select("src", "dst"))
+        .unionByName(chain.select("src", "dst"))
+        .select(
+            F.least("src", "dst").alias("src"),  # canonical edge (O4 analog)
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .distinct()
+    )
+    return pairs, bucket_stats
+
+
+def candidate_pairs_two_table(
+    keys_a: DataFrame,
+    keys_b: DataFrame,
+    id_col: str = "url",
+) -> DataFrame:
+    """Two-relation linkage analog of J3
+    (/root/reference/analysis_engine.py:439-449): candidates across two
+    corpora sharing a band bucket. No i<j constraint — sides are distinct."""
+    a = keys_a.select("band", "bh", F.col(id_col).alias("src"))
+    b = keys_b.select("band", "bh", F.col(id_col).alias("dst"))
+    return a.join(b, ["band", "bh"]).select("src", "dst").distinct()

@@ -1,0 +1,99 @@
+"""Pair verification: MinHash-Jaccard estimate + SimHash Hamming ball.
+
+Replaces the reference's pairwise confidence scorer + threshold
+classifiers (F1-F4, /root/reference/analysis_engine.py:108-135, 312-416,
+514-552). The reference runs strict/standard/lenient passes that all
+share one scorer, so we collapse them into a single scored pass with
+per-class thresholds (SURVEY §4.1 "pass short-circuit" note):
+
+  score columns:  est_jaccard = |sig_a == sig_b| / num_hashes   (native)
+                  hamming     = bit_count(simhash_a XOR simhash_b)
+  classify:       Exact Match  if est_jaccard == 1.0 AND hamming == 0
+                  Fuzzy Match  if est_jaccard >= threshold
+                               OR hamming <= radius
+                  (else the candidate edge is dropped)
+
+Entirely native expressions — zip_with/aggregate/bit_count run inside
+whole-stage codegen; no Python in this stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def score_pairs(
+    pairs: DataFrame,
+    sigs: DataFrame,
+    id_col: str = "url",
+    num_hashes: int = 128,
+) -> DataFrame:
+    """pairs(src,dst) x sigs(id,minhash,simhash) -> scored pairs."""
+    a = sigs.select(
+        F.col(id_col).alias("src"),
+        F.col("minhash").alias("mh_a"),
+        F.col("simhash").alias("sh_a"),
+    )
+    b = sigs.select(
+        F.col(id_col).alias("dst"),
+        F.col("minhash").alias("mh_b"),
+        F.col("simhash").alias("sh_b"),
+    )
+    scored = (
+        pairs.join(a, "src")
+        .join(b, "dst")
+        .select(
+            "src",
+            "dst",
+            (
+                F.aggregate(
+                    F.zip_with("mh_a", "mh_b", lambda x, y: (x == y).cast("int")),
+                    F.lit(0),
+                    lambda acc, x: acc + x,
+                ).cast("double")
+                / F.lit(float(num_hashes))
+            ).alias("est_jaccard"),
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+        )
+    )
+    return scored
+
+
+def classify_pairs(
+    scored: DataFrame,
+    jaccard_threshold: float = 0.80,
+    simhash_radius: int = 3,
+) -> DataFrame:
+    """Threshold classification (F3 analog): keep verified edges only."""
+    status = (
+        F.when(
+            (F.col("est_jaccard") >= 1.0) & (F.col("hamming") == 0), F.lit("Exact Match")
+        )
+        .when(
+            (F.col("est_jaccard") >= jaccard_threshold)
+            | (F.col("hamming") <= simhash_radius),
+            F.lit("Fuzzy Match"),
+        )
+        .otherwise(F.lit(None))
+    )
+    return (
+        scored.withColumn("status", status)
+        .where(F.col("status").isNotNull())
+        .select("src", "dst", "est_jaccard", "hamming", "status")
+    )
+
+
+def verify_stage(
+    pairs: DataFrame,
+    sigs: DataFrame,
+    id_col: str = "url",
+    num_hashes: int = 128,
+    jaccard_threshold: float = 0.80,
+    simhash_radius: int = 3,
+) -> DataFrame:
+    return classify_pairs(
+        score_pairs(pairs, sigs, id_col=id_col, num_hashes=num_hashes),
+        jaccard_threshold=jaccard_threshold,
+        simhash_radius=simhash_radius,
+    )

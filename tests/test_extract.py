@@ -1,0 +1,60 @@
+"""Byte-identity tests for html -> text extraction (BASELINE.json
+input_hint: 'byte-identical extracted text per url')."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from name_deduplication_python_spark.functions.text_extract import (
+    extract_series,
+    extract_text_oracle,
+    wrap_html,
+)
+from name_deduplication_python_spark.operators.extract import extract_stage
+from name_deduplication_python_spark.sources.corpus import corpus_to_spark, generate_corpus
+
+
+def test_wrap_roundtrip_unicode():
+    cases = [
+        "hello world foo bar",
+        "café naïve — übergroß straße",
+        "日本語のテキスト 中文文本 한국어",
+        "emoji \U0001f600 rocket \U0001f680 & ampersand < lt > gt \"q\" 'a'",
+        "a" * 5000 + " tail",
+    ]
+    for t in cases:
+        html = wrap_html(t, title="t")
+        assert extract_text_oracle(html) == t
+
+
+def test_series_matches_oracle():
+    texts = ["x y z", "café & <b>bold</b>", "multi  space input"]
+    htmls = [wrap_html(t) for t in texts] + [None, b"<p>a</p><p>b</p>"]
+    s = pd.Series(htmls, dtype=object)
+    got = extract_series(s)
+    want = [extract_text_oracle(h) for h in htmls]
+    assert list(got) == want
+    assert want[-1] == "a b"  # tag boundary becomes a space
+
+
+def test_entity_ordering():
+    # &amp;lt; must unescape to literal '&lt;', never to '<'
+    assert extract_text_oracle(b"x &amp;lt; y") == "x &lt; y"
+    assert extract_text_oracle(b"x &lt; y &nbsp;z") == "x < y z"
+
+
+def test_extract_stage_byte_identity(spark):
+    pages, _ = generate_corpus(n_base=60, seed=7, null_text_frac=1.0)
+    df = corpus_to_spark(spark, pages)
+    out = extract_stage(df).toPandas().set_index("url")["text"]
+    for _, row in pages.iterrows():
+        want = extract_text_oracle(row["html"])
+        assert out[row["url"]] == want, row["url"]
+
+
+def test_extract_stage_preserves_existing_text(spark):
+    pages, _ = generate_corpus(n_base=30, seed=9, null_text_frac=0.0)
+    df = corpus_to_spark(spark, pages)
+    out = extract_stage(df).toPandas().set_index("url")["text"]
+    for _, row in pages.iterrows():
+        assert out[row["url"]] == row["text"]

@@ -1,0 +1,72 @@
+"""Pipeline checkpoint/resume/idempotency tests (SURVEY §5 item 6,
+north_rule 'resumable from checkpoint with per-partition lineage')."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from name_deduplication_python_spark.pipeline import DedupConfig, DedupPipeline
+from name_deduplication_python_spark.sources.corpus import (
+    corpus_to_spark,
+    generate_corpus,
+)
+
+
+@pytest.fixture()
+def workdir(tmp_path):
+    return str(tmp_path / "dedup_run")
+
+
+def _run(spark, workdir):
+    pages, _ = generate_corpus(n_base=60, seed=11)
+    df = corpus_to_spark(spark, pages)
+    pipe = DedupPipeline(spark, workdir, DedupConfig())
+    clusters = pipe.run(df)
+    return pipe, clusters.toPandas().sort_values("url").reset_index(drop=True)
+
+
+def test_pipeline_end_to_end(spark, workdir):
+    pipe, cl = _run(spark, workdir)
+    assert len(cl) > 0
+    assert set(cl.columns) == {"url", "cluster_id"}
+    # every stage materialized with a _SUCCESS marker
+    for stage in DedupPipeline.STAGES:
+        assert os.path.exists(os.path.join(workdir, stage, "_SUCCESS")), stage
+    # lineage rows present for every stage
+    lineage = spark.read.parquet(os.path.join(workdir, "metrics_lineage"))
+    stages = {r["stage"] for r in lineage.select("stage").distinct().collect()}
+    assert stages == set(DedupPipeline.STAGES)
+    assert lineage.where("n_rows < 0").count() == 0
+    # summary arithmetic consistent
+    s = pipe.summary()
+    assert s["total"] == len(cl)
+    assert s["in_dup_clusters"] + s["unique"] == s["total"]
+
+
+def test_pipeline_rerun_is_idempotent(spark, workdir):
+    _, cl1 = _run(spark, workdir)
+    _, cl2 = _run(spark, workdir)  # all stages skipped, read from checkpoint
+    assert cl1.equals(cl2)
+
+
+def test_pipeline_resume_from_partial(spark, workdir):
+    _, cl1 = _run(spark, workdir)
+    # simulate a crash after stage 2: drop downstream outputs, resume
+    for stage in ("pairs", "edges", "clusters"):
+        shutil.rmtree(os.path.join(workdir, stage))
+    _, cl2 = _run(spark, workdir)
+    assert cl1.equals(cl2)
+
+
+def test_pipeline_interrupted_stage_is_recomputed(spark, workdir):
+    _, cl1 = _run(spark, workdir)
+    # a stage dir without _SUCCESS (mid-write crash) must be recomputed
+    marker = os.path.join(workdir, "edges", "_SUCCESS")
+    os.remove(marker)
+    shutil.rmtree(os.path.join(workdir, "clusters"))
+    _, cl2 = _run(spark, workdir)
+    assert os.path.exists(marker)
+    assert cl1.equals(cl2)

@@ -1,0 +1,98 @@
+"""End-to-end recall gate: dup-pair recall >= 0.99 vs a brute-force
+all-pairs shingle-Jaccard oracle (BASELINE.json metric; SURVEY §5 item 2).
+
+The oracle is independent of the engine's hashing: true Jaccard over
+exact k-shingle sets of the actual texts. A pair is a true dup iff
+J >= jaccard_threshold; the engine must place >= 99% of such pairs in
+the same cluster at the identical (k, num_hashes, bands, rows) config.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+import pytest
+
+from name_deduplication_python_spark import DEFAULT_CONFIG
+from name_deduplication_python_spark.operators.components import (
+    components_with_singletons,
+)
+from name_deduplication_python_spark.operators.extract import extract_stage
+from name_deduplication_python_spark.operators.lsh import band_keys, candidate_pairs
+from name_deduplication_python_spark.operators.signatures import signature_stage
+from name_deduplication_python_spark.operators.verify import verify_stage
+from name_deduplication_python_spark.sources.corpus import (
+    corpus_to_spark,
+    generate_corpus,
+)
+from name_deduplication_python_spark.functions.text_extract import extract_text_oracle
+
+
+def _shingle_set(text: str, k: int) -> frozenset:
+    toks = text.split(" ")
+    if len(toks) < k:
+        return frozenset([tuple(toks)])
+    return frozenset(tuple(toks[i : i + k]) for i in range(len(toks) - k + 1))
+
+
+def _oracle_pairs(texts: dict[str, str], k: int, theta: float) -> set[tuple[str, str]]:
+    shs = {u: _shingle_set(t, k) for u, t in texts.items() if t}
+    out = set()
+    for a, b in combinations(sorted(shs), 2):
+        sa, sb = shs[a], shs[b]
+        inter = len(sa & sb)
+        if inter == 0:
+            continue
+        j = inter / (len(sa) + len(sb) - inter)
+        if j >= theta:
+            out.add((a, b))
+    return out
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    pages, truth = generate_corpus(n_base=250, seed=42)
+    texts = {
+        r["url"]: (r["text"] if r["text"] is not None else extract_text_oracle(r["html"]))
+        for _, r in pages.iterrows()
+    }
+    return pages, truth, texts
+
+
+def test_recall_vs_bruteforce_oracle(spark, corpus):
+    pages, truth, texts = corpus
+    cfg = DEFAULT_CONFIG
+    theta = cfg["jaccard_threshold"]
+    want = _oracle_pairs(texts, cfg["shingle_k"], theta)
+    assert len(want) >= 80, f"oracle found only {len(want)} true dup pairs"
+
+    df = corpus_to_spark(spark, pages)
+    extracted = extract_stage(df).cache()
+    sigs = signature_stage(
+        extracted,
+        num_hashes=cfg["num_hashes"],
+        shingle_k=cfg["shingle_k"],
+        seed=cfg["seed"],
+    ).cache()
+    keys = band_keys(sigs, bands=cfg["bands"], rows_per_band=cfg["rows_per_band"])
+    pairs, _ = candidate_pairs(keys, bucket_cap=cfg["bucket_cap"])
+    edges = verify_stage(
+        pairs,
+        sigs,
+        num_hashes=cfg["num_hashes"],
+        jaccard_threshold=cfg["jaccard_threshold"],
+        simhash_radius=cfg["simhash_radius"],
+    )
+    clusters = components_with_singletons(edges.select("src", "dst"), extracted, "url")
+    lab = {r["url"]: r["cluster_id"] for r in clusters.collect()}
+
+    hit = sum(1 for a, b in want if lab[a] == lab[b])
+    recall = hit / len(want)
+    assert recall >= 0.99, f"recall {recall:.4f} ({hit}/{len(want)})"
+
+
+def test_extraction_byte_identity_e2e(spark, corpus):
+    pages, _, texts = corpus
+    df = corpus_to_spark(spark, pages)
+    got = {r["url"]: r["text"] for r in extract_stage(df).collect()}
+    assert got == texts
