@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship near-dup clustering over sf0.001 documents.
+queries()     — operator inventory per SURVEY.md §2 (see
+                name_deduplication_python_spark/plans/queries.py; each
+                query documents its reference-operator analog).
+oracle_sql()  — DuckDB-runnable ANSI SQL for every SQL-expressible query
+                (engine-config MinHash/SimHash ops are rows-only checks).
 """
 
 from __future__ import annotations
@@ -15,24 +16,44 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: near-duplicate clusters over sf0.001 documents at
+    the fixed engine config (shingle k=5, 128 MinHash, 25x5 banding,
+    SimHash radius 3) — extract -> sign -> LSH join -> verify -> CC."""
+    from pyspark.sql import functions as F
+
+    from name_deduplication_python_spark import DEFAULT_CONFIG as C
+    from name_deduplication_python_spark.operators.components import (
+        components_with_singletons,
+    )
+    from name_deduplication_python_spark.operators.lsh import band_keys, candidate_pairs
+    from name_deduplication_python_spark.operators.signatures import signature_stage
+    from name_deduplication_python_spark.operators.verify import verify_stage
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("url"), "text"
+    )
+    sigs = signature_stage(
+        docs, num_hashes=C["num_hashes"], shingle_k=C["shingle_k"], seed=C["seed"]
+    )
+    keys = band_keys(sigs, bands=C["bands"], rows_per_band=C["rows_per_band"])
+    pairs, _ = candidate_pairs(keys, bucket_cap=C["bucket_cap"])
+    edges = verify_stage(
+        pairs,
+        sigs,
+        num_hashes=C["num_hashes"],
+        jaccard_threshold=C["jaccard_threshold"],
+        simhash_radius=C["simhash_radius"],
+    )
+    return components_with_singletons(edges.select("src", "dst"), docs, "url")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from name_deduplication_python_spark.plans.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from name_deduplication_python_spark.plans.queries import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,575 @@
+"""Driver-contract queries: each implemented operator from SURVEY.md §2
+as a (spark, sf_dir) -> DataFrame callable, with a matching ANSI-SQL
+oracle string where the semantics are SQL-expressible (DuckDB runs the
+oracle on the same parquet views; the driver compares row-count + schema
++ order-insensitive value-hash).
+
+Spark implementation and oracle SQL live side by side per query so the
+column-name/alias contract is auditable line by line. All Spark hot
+paths are native expressions; UDF-based queries (MinHash/SimHash/CC at
+engine config) are rows-only checks per the driver contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import DEFAULT_CONFIG
+from ..operators.components import connected_components
+from ..operators.lsh import band_keys, candidate_pairs
+from ..operators.signatures import signature_stage
+from ..operators.verify import verify_stage
+
+# Spark tokenization: split on single spaces after trim (testdata texts are
+# single-spaced); the oracle uses the same contract.
+_TOK = "split(trim(text), ' ')"
+
+_STOPWORDS = ["the", "a", "of", "and", "in", "to", "is"]
+_STOP_SQL = "('" + "','".join(_STOPWORDS) + "')"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --------------------------------------------------------------------------
+# 1. exact_dedup — hash-groupBy exact duplicate detection (O4 / A1 trivial
+#    case; dedup tier headline op). Representative = min doc_id per text
+#    hash, group size, total chars.
+# --------------------------------------------------------------------------
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("rep_doc_id"),
+            F.count("*").alias("group_size"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+SQL_EXACT_DEDUP = """
+SELECT md5(text) AS text_hash,
+       min(doc_id) AS rep_doc_id,
+       count(*) AS group_size,
+       sum(n_chars) AS total_chars
+FROM documents
+GROUP BY md5(text)
+"""
+
+# --------------------------------------------------------------------------
+# 2. token_jaccard_pairs — n-gram (token-set) Jaccard near-dup self-join:
+#    the SQL-expressible analog of the J1/J2 blocked self-join
+#    (/root/reference/analysis_engine.py:418-437). Exact set semantics so
+#    DuckDB can verify it.
+# --------------------------------------------------------------------------
+
+_JACCARD_THETA = 0.5
+
+
+def _token_sets(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(F.expr(_TOK))).alias("tok")
+    )
+
+
+def q_token_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = _token_sets(docs)
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = toks.select(F.col("doc_id").alias("src"), "tok")
+    b = toks.select(F.col("doc_id").alias("dst"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .where(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("src"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("dst"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "src")
+        .join(sb, "dst")
+        .select(
+            "src",
+            "dst",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= _JACCARD_THETA)
+    )
+
+
+SQL_TOKEN_JACCARD_PAIRS = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(trim(text), ' '))) AS tok
+  FROM documents
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS inter
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT src, dst,
+       round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = src
+JOIN sizes sb ON sb.doc_id = dst
+WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= {_JACCARD_THETA}
+"""
+
+# --------------------------------------------------------------------------
+# 3. cc_clusters — connected components over the token-Jaccard edge set:
+#    distributed large-star/small-star vs DuckDB recursive-CTE transitive
+#    closure (A1 analog, /root/reference/analysis_engine.py:555-580).
+# --------------------------------------------------------------------------
+
+def q_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CC runs directly on numeric ids (least/greatest/min are type-generic);
+    # stringified ids would order "10" < "9" and break min-label parity.
+    edges = q_token_jaccard_pairs(spark, sf_dir).select("src", "dst")
+    comp = connected_components(edges)
+    return comp.select(
+        F.col("url").alias("doc_id"), F.col("cluster_id").alias("cluster_id")
+    )
+
+
+# NOTE on the oracle: numeric min-label closure via recursive CTE. UNION
+# dedups rows so the iteration terminates.
+SQL_CC_CLUSTERS = f"""
+WITH RECURSIVE edges AS (
+  {SQL_TOKEN_JACCARD_PAIRS}
+), bi AS (
+  SELECT src AS u, dst AS v FROM edges
+  UNION
+  SELECT dst AS u, src AS v FROM edges
+), reach(u, v) AS (
+  SELECT u, v FROM bi
+  UNION
+  SELECT r.u, b.v FROM reach r JOIN bi b ON r.v = b.u
+)
+SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+FROM reach
+GROUP BY u
+"""
+
+# --------------------------------------------------------------------------
+# 4. token_stats — per-language corpus stats (C-ops + A5/A6 analogs).
+# --------------------------------------------------------------------------
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "lang",
+            "n_chars",
+            F.size(F.expr(_TOK)).alias("n_tokens"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+SQL_TOKEN_STATS = """
+SELECT lang,
+       count(*) AS n_docs,
+       sum(len(string_split(trim(text), ' '))) AS total_tokens,
+       round(avg(len(string_split(trim(text), ' '))), 4) AS avg_tokens,
+       sum(n_chars) AS total_chars
+FROM documents
+GROUP BY lang
+"""
+
+# --------------------------------------------------------------------------
+# 5. quality_scores — text-quality heuristics (training-data pipeline op):
+#    token count, mean token length, stopword ratio, alpha ratio.
+# --------------------------------------------------------------------------
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = F.expr(_TOK)
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(F.col("n_chars") / n_tok, 4).alias("mean_token_len"),
+        F.round(n_stop / n_tok, 4).alias("stopword_ratio"),
+        F.round(
+            F.length(F.regexp_replace("text", "[^a-z]", "")) / F.col("n_chars"), 4
+        ).alias("alpha_ratio"),
+    )
+
+
+SQL_QUALITY_SCORES = f"""
+SELECT doc_id,
+       len(string_split(trim(text), ' ')) AS n_tokens,
+       round(n_chars / len(string_split(trim(text), ' ')), 4) AS mean_token_len,
+       round(len(list_filter(string_split(trim(text), ' '),
+                             t -> t IN {_STOP_SQL}))
+             / len(string_split(trim(text), ' ')), 4) AS stopword_ratio,
+       round(length(regexp_replace(text, '[^a-z]', '', 'g')) / n_chars, 4)
+         AS alpha_ratio
+FROM documents
+"""
+
+# --------------------------------------------------------------------------
+# 6. lang_topk — top-5 languages by doc count (A7 top-5-cities analog,
+#    /root/reference/analysis_engine.py:759-766). Deterministic tiebreak.
+# --------------------------------------------------------------------------
+
+def q_lang_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("lang"))
+        .limit(5)
+    )
+
+
+SQL_LANG_TOPK = """
+SELECT lang, count(*) AS n_docs
+FROM documents
+GROUP BY lang
+ORDER BY n_docs DESC, lang ASC
+LIMIT 5
+"""
+
+# --------------------------------------------------------------------------
+# 7. doc_fingerprints — per-doc deterministic fingerprint (C13/C14 lineage
+#    analog): md5 + first/last token projection.
+# --------------------------------------------------------------------------
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.expr(_TOK)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.md5("text").alias("fingerprint"),
+        F.element_at(toks, 1).alias("first_token"),
+        F.element_at(toks, -1).alias("last_token"),
+        F.length("text").alias("text_len"),
+    )
+
+
+SQL_DOC_FINGERPRINTS = """
+SELECT doc_id,
+       md5(text) AS fingerprint,
+       string_split(trim(text), ' ')[1] AS first_token,
+       string_split(trim(text), ' ')[-1] AS last_token,
+       length(text) AS text_len
+FROM documents
+"""
+
+# --------------------------------------------------------------------------
+# 8. rank_in_lang — window dense_rank (A9 group-renumbering analog,
+#    /root/reference/analysis_engine.py:635).
+# --------------------------------------------------------------------------
+
+def q_rank_in_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "lang", "n_chars", F.dense_rank().over(w).alias("rnk"))
+        .where(F.col("rnk") <= 10)
+    )
+
+
+SQL_RANK_IN_LANG = """
+SELECT doc_id, lang, n_chars, rnk FROM (
+  SELECT doc_id, lang, n_chars,
+         dense_rank() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC)
+           AS rnk
+  FROM documents
+) WHERE rnk <= 10
+"""
+
+# --------------------------------------------------------------------------
+# 9. dedup_survivors — anti-join of docs against exact-dup non-representatives
+#    (P5 already-matched filter analog, /root/reference/analysis_engine.py:545).
+# --------------------------------------------------------------------------
+
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    reps = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("rep_doc_id")
+    )
+    return (
+        docs.withColumn("h", F.md5("text"))
+        .join(reps, "h")
+        .where(F.col("doc_id") == F.col("rep_doc_id"))
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+SQL_DEDUP_SURVIVORS = """
+SELECT doc_id, lang, n_chars
+FROM documents d
+WHERE doc_id = (
+  SELECT min(doc_id) FROM documents d2 WHERE md5(d2.text) = md5(d.text)
+)
+"""
+
+# --------------------------------------------------------------------------
+# 10. ann_topk — brute-force cosine top-k similarity search over embeddings
+#     (training-pipeline op; array<float> column). Native zip_with dot
+#     product; query set = vec_id < 10. Round for float stability.
+# --------------------------------------------------------------------------
+
+_ANN_K = 5
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    norm = emb.select(
+        "vec_id",
+        "v",
+        F.sqrt(
+            F.aggregate(
+                F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+            )
+        ).alias("nrm"),
+    )
+    q = norm.select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    ).where(F.col("query_id") < 10)
+    c = norm.select(
+        F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
+    )
+    scored = (
+        q.crossJoin(c)
+        .where(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            (dot / (F.col("qn") * F.col("cn"))).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _ANN_K)
+        .select(
+            "query_id", "cand_id", F.round("cos_raw", 4).alias("cosine"), "rnk"
+        )
+    )
+
+
+SQL_ANN_TOPK = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+  FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos_raw
+  FROM v q, v c
+  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+)
+SELECT query_id, cand_id, round(cos_raw, 4) AS cosine, rnk FROM (
+  SELECT query_id, cand_id, cos_raw,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, cand_id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= {_ANN_K}
+"""
+
+# --------------------------------------------------------------------------
+# 11. revenue_by_flag — TPC-H Q1-shaped aggregation over lineitem (partial
+#     agg / shuffle coverage; A5 numeric-agg analog).
+# --------------------------------------------------------------------------
+
+def q_revenue_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+SQL_REVENUE_BY_FLAG = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+# --------------------------------------------------------------------------
+# 12. top_customers — broadcast-dim join + top-k (J3 two-table linkage +
+#     O3 analog): orders joined to customer, top 20 by total spend.
+# --------------------------------------------------------------------------
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+             F.count("*").alias("n_orders"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "total_spend", "n_orders")
+        .orderBy(F.desc("total_spend"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+SQL_TOP_CUSTOMERS = """
+SELECT c_custkey, c_name,
+       round(sum(o_totalprice), 2) AS total_spend,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY total_spend DESC, c_custkey ASC
+LIMIT 20
+"""
+
+# --------------------------------------------------------------------------
+# 13. events_windowed — tumbling-window event aggregation (streaming-shaped
+#     batch analog; the same plan is used by the structured-streaming
+#     module with a watermark).
+# --------------------------------------------------------------------------
+
+def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).cast("string").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+SQL_EVENTS_WINDOWED = """
+SELECT date_trunc('hour', ts)::VARCHAR AS hour, event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS total_value,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+"""
+
+# --------------------------------------------------------------------------
+# Engine-config queries (not SQL-expressible -> rows-only driver check):
+# MinHash-LSH candidates, SimHash pairs, engine clusters on documents.
+# --------------------------------------------------------------------------
+
+def _doc_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"), "text"
+    )
+    c = DEFAULT_CONFIG
+    return signature_stage(
+        docs, num_hashes=c["num_hashes"], shingle_k=c["shingle_k"], seed=c["seed"]
+    )
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = DEFAULT_CONFIG
+    sigs = _doc_sigs(spark, sf_dir)
+    keys = band_keys(sigs, bands=c["bands"], rows_per_band=c["rows_per_band"])
+    pairs, _ = candidate_pairs(keys, bucket_cap=c["bucket_cap"])
+    scored = verify_stage(
+        pairs,
+        sigs,
+        num_hashes=c["num_hashes"],
+        jaccard_threshold=0.3,  # permissive: report candidates with estimates
+        simhash_radius=c["simhash_radius"],
+    )
+    return scored.select(
+        F.col("src").cast("bigint").alias("src"),
+        F.col("dst").cast("bigint").alias("dst"),
+        "est_jaccard",
+        "hamming",
+        "status",
+    )
+
+
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs SimHash Hamming within radius 16 over documents (small
+    corpus: native self-join on simhash prefix buckets)."""
+    sigs = _doc_sigs(spark, sf_dir).select(
+        F.col("url").cast("bigint").alias("doc_id"), "simhash"
+    )
+    a = sigs.select(F.col("doc_id").alias("src"), F.col("simhash").alias("ha"))
+    b = sigs.select(F.col("doc_id").alias("dst"), F.col("simhash").alias("hb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("src") < F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= 16)
+    )
+
+
+QUERIES = {
+    "exact_dedup": q_exact_dedup,
+    "token_jaccard_pairs": q_token_jaccard_pairs,
+    "cc_clusters": q_cc_clusters,
+    "token_stats": q_token_stats,
+    "quality_scores": q_quality_scores,
+    "lang_topk": q_lang_topk,
+    "doc_fingerprints": q_doc_fingerprints,
+    "rank_in_lang": q_rank_in_lang,
+    "dedup_survivors": q_dedup_survivors,
+    "ann_topk": q_ann_topk,
+    "revenue_by_flag": q_revenue_by_flag,
+    "top_customers": q_top_customers,
+    "events_windowed": q_events_windowed,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash_near_pairs": q_simhash_near_pairs,
+}
+
+ORACLES = {
+    "exact_dedup": SQL_EXACT_DEDUP,
+    "token_jaccard_pairs": SQL_TOKEN_JACCARD_PAIRS,
+    "cc_clusters": SQL_CC_CLUSTERS,
+    "token_stats": SQL_TOKEN_STATS,
+    "quality_scores": SQL_QUALITY_SCORES,
+    "lang_topk": SQL_LANG_TOPK,
+    "doc_fingerprints": SQL_DOC_FINGERPRINTS,
+    "rank_in_lang": SQL_RANK_IN_LANG,
+    "dedup_survivors": SQL_DEDUP_SURVIVORS,
+    "ann_topk": SQL_ANN_TOPK,
+    "revenue_by_flag": SQL_REVENUE_BY_FLAG,
+    "top_customers": SQL_TOP_CUSTOMERS,
+    "events_windowed": SQL_EVENTS_WINDOWED,
+    # minhash_lsh_pairs / simhash_near_pairs: engine-config ops, rows-only.
+}
