@@ -1,0 +1,177 @@
+#!/usr/bin/env python
+"""Benchmark: end-to-end near-dup pipeline + headline queries.
+
+Default mode (what the per-round driver runs): one JSON line to stdout —
+  {"metric": "dedup_docs_per_sec", "value": <docs/sec>, "unit": "docs/sec",
+   "queries": {<name>: seconds, ...}, "sf": <sf>, ...}
+
+Input: deterministic synthetic web_pages corpus (BASELINE.json input_hint
+shape) sized from the sf dir's documents rowcount (n_base = 4x), cached as
+parquet under .bench_cache/ so generation cost never pollutes timings; the
+sf dir's own tables feed the headline relational queries.
+
+Scaling mode (BASELINE.md protocol — the sandbox stand-in for N vs 4N
+executors):  python bench.py --scaling
+runs the same job in fresh subprocesses at local[8] and local[32] and
+writes BENCH/BASELINE.md with both throughputs + scaling efficiency.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS   (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Fixed dedup config (BASELINE.md): shingle k=5, 128 MinHash, 25 bands x 5
+# rows, SimHash radius 3, jaccard threshold 0.8.
+
+HEADLINE_QUERIES = [
+    "exact_dedup",
+    "token_jaccard_pairs",
+    "cc_clusters",
+    "minhash_lsh_pairs",
+    "quality_scores",
+    "ann_topk",
+    "revenue_by_flag",
+    "top_customers",
+]
+
+
+def _sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _corpus_parquet(spark, n_docs: int) -> tuple[str, int]:
+    """Deterministic synthetic corpus cached as parquet (seed=42)."""
+    n_base = n_docs * 4
+    cache = os.path.join(REPO, ".bench_cache", f"corpus_nb{n_base}_seed42")
+    marker = os.path.join(cache, "_SUCCESS")
+    if not os.path.exists(marker):
+        from name_deduplication_python_spark.sources.corpus import (
+            corpus_to_spark,
+            generate_corpus,
+        )
+
+        pages, _ = generate_corpus(n_base=n_base, seed=42)
+        corpus_to_spark(spark, pages).repartition(max(CPUS, 8)).write.mode(
+            "overwrite"
+        ).parquet(cache)
+    n_pages = spark.read.parquet(cache).count()
+    return cache, n_pages
+
+
+def run_bench() -> dict:
+    from name_deduplication_python_spark.pipeline import DedupConfig, DedupPipeline
+    from name_deduplication_python_spark.plans.queries import QUERIES
+    from name_deduplication_python_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", cores=CPUS, shuffle_partitions=max(CPUS, 8))
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    corpus_path, n_pages = _corpus_parquet(spark, n_docs)
+
+    workdir = os.path.join(REPO, ".bench_cache", f"run_cpus{CPUS}_n{n_pages}")
+    shutil.rmtree(workdir, ignore_errors=True)  # cold start each bench run
+
+    pages = spark.read.parquet(corpus_path)
+    t0 = time.time()
+    pipe = DedupPipeline(spark, workdir, DedupConfig())
+    clusters = pipe.run(pages)
+    n_clusters = clusters.select("cluster_id").distinct().count()
+    e2e = time.time() - t0
+
+    timings: dict[str, float] = {"e2e_dedup_pipeline": round(e2e, 3)}
+    for stage, sec in pipe.stage_seconds.items():
+        timings[f"stage_{stage}"] = round(sec, 3)
+
+    for name in HEADLINE_QUERIES:
+        t = time.time()
+        QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t, 3)
+
+    docs_per_sec = n_pages / e2e
+    result = {
+        "metric": "dedup_docs_per_sec",
+        "value": round(docs_per_sec, 2),
+        "unit": "docs/sec",
+        "queries": timings,
+        "sf": _sf_of(SF_DIR),
+        "cpus": CPUS,
+        "n_pages": n_pages,
+        "n_clusters": n_clusters,
+        "e2e_sec": round(e2e, 3),
+        "config": "shingle_k=5 num_hashes=128 bands=25 rows=5 simhash_r=3 theta=0.8",
+    }
+    spark.stop()
+    return result
+
+
+def run_scaling() -> None:
+    """BASELINE.md protocol: same input, local[8] vs local[32], cold start
+    each; report throughput at both + scaling efficiency."""
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=SF_DIR)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+
+    tp8, tp32 = results[8]["value"], results[32]["value"]
+    eff = (tp32 / tp8) / 4.0
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(
+            f"""# BENCH/BASELINE.md — scaling evidence (BASELINE.json north_rule)
+
+The rule's two-cluster-size criterion (N vs 4N executors) is evidenced in
+this sandbox by the same job at two local parallelism levels on identical
+input (cold start each), per the task brief.
+
+Config: shingle k=5, 128 MinHash fns, 25 bands x 5 rows, SimHash radius 3,
+jaccard threshold 0.8. Input: deterministic synthetic web corpus
+({results[32]["n_pages"]} pages, seed 42, shape per BASELINE.json input_hint),
+sf dir {SF_DIR}.
+
+| parallelism | wall (s) | throughput (docs/sec) |
+|---|---|---|
+| local[8]  (N)  | {results[8]["e2e_sec"]} | {tp8} |
+| local[32] (4N) | {results[32]["e2e_sec"]} | {tp32} |
+
+**Scaling efficiency = (tp@4N / tp@N) / 4 = {eff:.3f}** (gate: >= 0.8)
+
+Per-stage seconds at local[32]: {json.dumps(results[32]["queries"], indent=0)}
+
+Raw JSON:
+- local[8]: `{json.dumps(results[8])}`
+- local[32]: `{json.dumps(results[32])}`
+"""
+        )
+    print(json.dumps({"efficiency": round(eff, 3), "tp8": tp8, "tp32": tp32}))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,161 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths per the task brief:
+  * brute-force cosine top-k (exact baseline; also in plans/queries.py
+    with a DuckDB oracle) — fine for a broadcast-able query set;
+  * random-hyperplane LSH (SimHash for vectors, Charikar STOC'02) — the
+    scale path: signatures computed in one Arrow batch kernel, candidates
+    from multi-probe band buckets, exact cosine re-ranking only within
+    buckets. At 10^12 rows the bucket join shuffles O(n * tables) rows
+    instead of O(n^2) comparisons.
+
+Embedding near-dup dedup (embedding-cosine near-dup tier op) reuses the
+same machinery with a cosine threshold instead of top-k.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _cosine_expr(a: str, b: str):
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    nb = F.sqrt(
+        F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    return dot / (na * nb)
+
+
+def hyperplane_signatures(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_bits: int = 64,
+    n_tables: int = 8,
+    bits_per_table: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, vec) -> (id, table, bucket) — one row per hash table.
+
+    Signature bit b = sign(<v, r_b>) with r_b ~ N(0,1) fixed by seed;
+    bucket key = packed bits of one table's slice. Whole batch is one
+    numpy matmul (n_docs x dim) @ (dim x n_bits).
+    """
+    out_schema = f"{id_col} bigint, table int, bucket bigint"
+    assert n_tables * bits_per_table <= n_bits
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((dim, n_bits))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            bits = (mat @ planes) > 0  # (n, n_bits)
+            ids = pdf[id_col].to_numpy()
+            frames = []
+            for t in range(n_tables):
+                sl = bits[:, t * bits_per_table : (t + 1) * bits_per_table]
+                bucket = np.zeros(len(pdf), dtype=np.int64)
+                for j in range(bits_per_table):
+                    bucket = (bucket << 1) | sl[:, j]
+                frames.append(
+                    pd.DataFrame({id_col: ids, "table": t, "bucket": bucket})
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return emb.select(id_col, vec_col).mapInPandas(gen, schema=out_schema)
+
+
+def ann_lsh_topk(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    query_filter=None,
+    n_tables: int = 8,
+    bits_per_table: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via hyperplane-LSH buckets.
+
+    Candidates = pairs sharing any (table, bucket); exact cosine re-rank
+    within candidates only. query_filter: optional Column limiting the
+    query side (default: all rows are queries).
+    """
+    dim = len(emb.select(vec_col).first()[0])
+    sigs = hyperplane_signatures(
+        emb, id_col, vec_col, dim=dim, n_tables=n_tables,
+        bits_per_table=bits_per_table, seed=seed,
+    )
+    vecs = emb.select(
+        F.col(id_col),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
+    )
+    q_sigs = sigs if query_filter is None else sigs.where(query_filter)
+    cand = (
+        q_sigs.select(F.col(id_col).alias("query_id"), "table", "bucket")
+        .join(sigs.select(F.col(id_col).alias("cand_id"), "table", "bucket"),
+              ["table", "bucket"])
+        .where(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id")
+        .distinct()
+    )
+    scored = (
+        cand.join(vecs.select(F.col(id_col).alias("query_id"), F.col("v").alias("qv")), "query_id")
+        .join(vecs.select(F.col(id_col).alias("cand_id"), F.col("v").alias("cv")), "cand_id")
+        .select("query_id", "cand_id", _cosine_expr("qv", "cv").alias("cos_raw"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "cand_id", F.round("cos_raw", 4).alias("cosine"), "rnk")
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cos_threshold: float = 0.95,
+    n_tables: int = 8,
+    bits_per_table: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup-tier op): LSH-bucketed
+    candidates, exact cosine verify, canonical (src < dst) edges."""
+    dim = len(emb.select(vec_col).first()[0])
+    sigs = hyperplane_signatures(
+        emb, id_col, vec_col, dim=dim, n_tables=n_tables,
+        bits_per_table=bits_per_table, seed=seed,
+    )
+    vecs = emb.select(
+        F.col(id_col),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
+    )
+    cand = (
+        sigs.select(F.col(id_col).alias("src"), "table", "bucket")
+        .join(sigs.select(F.col(id_col).alias("dst"), "table", "bucket"),
+              ["table", "bucket"])
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return (
+        cand.join(vecs.select(F.col(id_col).alias("src"), F.col("v").alias("qv")), "src")
+        .join(vecs.select(F.col(id_col).alias("dst"), F.col("v").alias("cv")), "dst")
+        .select("src", "dst", F.round(_cosine_expr("qv", "cv"), 6).alias("cosine"))
+        .where(F.col("cosine") >= cos_threshold)
+    )

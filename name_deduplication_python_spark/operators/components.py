@@ -20,23 +20,20 @@ xxhash64 checksum — two scalars per iteration, no collect of edges).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
+    # window-min instead of groupBy+self-join: one shuffle on src, no join.
     bi = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    mins = bi.groupBy("src").agg(F.min("dst").alias("mn"))
+    w = Window.partitionBy("src")
     return (
-        bi.join(mins, "src")
+        bi.withColumn("mn", F.least(F.col("src"), F.min("dst").over(w)))
         .where(F.col("dst") > F.col("src"))
-        .select(
-            F.col("dst").alias("src"),
-            F.least(F.col("src"), F.col("mn")).alias("dst"),
-        )
-        .distinct()
+        .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
     )
 
 
@@ -44,12 +41,13 @@ def _small_star(edges: DataFrame) -> DataFrame:
     oriented = edges.select(
         F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
     ).where(F.col("src") != F.col("dst"))
-    mins = oriented.groupBy("src").agg(F.min("dst").alias("mn"))
-    joined = oriented.join(mins, "src")
-    part1 = joined.where(F.col("dst") != F.col("mn")).select(
+    w = Window.partitionBy("src")
+    withmin = oriented.withColumn("mn", F.min("dst").over(w))
+    part1 = withmin.where(F.col("dst") != F.col("mn")).select(
         F.col("dst").alias("src"), F.col("mn").alias("dst")
     )
-    part2 = mins.select("src", F.col("mn").alias("dst"))
+    part2 = withmin.select("src", F.col("mn").alias("dst"))
+    # single distinct per iteration (dedups both stars' output at once)
     return part1.union(part2).distinct()
 
 

@@ -1,0 +1,97 @@
+"""ANN (hyperplane LSH) and multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from name_deduplication_python_spark.functions.multimodal import (
+    frame_sample,
+    image_features,
+    MEDIA_SCHEMA,
+)
+from name_deduplication_python_spark.operators.ann import (
+    ann_lsh_topk,
+    embedding_near_dup_pairs,
+    hyperplane_signatures,
+)
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.default_rng(8)
+    base = rng.standard_normal((20, 16)).astype(np.float32)
+    # plant near-dups: vec 100+i is a tiny perturbation of vec i (i<5)
+    rows = [(i, base[i].tolist()) for i in range(20)]
+    for i in range(5):
+        v = base[i] + rng.standard_normal(16).astype(np.float32) * 0.01
+        rows.append((100 + i, v.tolist()))
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"]),
+        "vec_id bigint, embedding array<float>",
+    )
+
+
+def test_hyperplane_signatures_deterministic(spark, emb_df):
+    s1 = hyperplane_signatures(emb_df, dim=16).toPandas().sort_values(["vec_id", "table"])
+    s2 = hyperplane_signatures(emb_df, dim=16).toPandas().sort_values(["vec_id", "table"])
+    assert s1.reset_index(drop=True).equals(s2.reset_index(drop=True))
+    assert set(s1["table"]) == set(range(8))
+
+
+def test_embedding_near_dup_pairs(spark, emb_df):
+    got = {
+        (r["src"], r["dst"])
+        for r in embedding_near_dup_pairs(emb_df, cos_threshold=0.95).collect()
+    }
+    want = {(i, 100 + i) for i in range(5)}
+    assert want <= got, got - want
+    # no false positives among random gaussian vectors
+    assert all(dst >= 100 for _, dst in got)
+
+
+def test_ann_lsh_topk_finds_planted_neighbor(spark, emb_df):
+    res = ann_lsh_topk(
+        emb_df, k=3, query_filter="vec_id < 5", n_tables=16, bits_per_table=4
+    ).toPandas()
+    for i in range(5):
+        top = res[res.query_id == i].sort_values("rnk")
+        assert len(top) >= 1
+        assert top.iloc[0]["cand_id"] == 100 + i, top
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    rows = [
+        ("img1", "image/jpeg", b"\x01\x02\x03" * 100, 16, 16, None),
+        ("img2", "image/jpeg", b"\x01\x02\x03" * 100, 16, 16, None),  # same bytes
+        ("img3", "image/png", b"\xff\xee" * 200, 32, 8, None),
+        ("vid1", "video/mp4", b"\xaa\xbb" * 500, None, None, 3500),
+        ("nul1", "image/jpeg", None, 8, 8, None),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_image_features_batch_shape(spark, media_df):
+    out = image_features(media_df.where("mime like 'image/%'"), target=(8, 8)).toPandas()
+    assert set(out["media_id"]) == {"img1", "img2", "img3"}  # null content dropped
+    assert all(len(f) == 64 for f in out["feat"])
+    # deterministic fake decode: identical bytes+dims -> identical features
+    f1 = out[out.media_id == "img1"].iloc[0]["feat"]
+    f2 = out[out.media_id == "img2"].iloc[0]["feat"]
+    assert list(f1) == list(f2)
+
+
+def test_frame_sample_udtf_shape(spark, media_df):
+    out = frame_sample(media_df.where("mime like 'video/%'"), every_ms=1000).toPandas()
+    assert len(out) == 3  # 3500ms -> 3 frames
+    assert list(out.sort_values("frame_idx")["frame_idx"]) == [0, 1, 2]
+    assert out["frame_sha256"].nunique() == 3
+
+
+def test_image_strict_mode_raises(spark, media_df):
+    with pytest.raises(Exception, match="(?i)codec|NotImplemented"):
+        image_features(
+            media_df.where("media_id = 'img1'"), strict=True
+        ).collect()
