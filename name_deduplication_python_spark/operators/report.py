@@ -1,0 +1,125 @@
+"""Cluster reporting: remarks, classification precedence, renumbering,
+member lineage — the reference's report-generation semantics re-expressed
+as DataFrame aggregates.
+
+Reference analogs (SURVEY §2.5):
+  A2  group remark      any fuzzy edge in cluster -> "Fuzzy Match"
+                        (/root/reference/analysis_engine.py:584)
+  A3  classification    precedence linked > duplicate > unique
+                        (:585-620; officials tier doesn't exist for web
+                        corpora — cross-corpus linkage takes its slot)
+  A4  group ordering    class rank, remark rank, min member
+  A9  renumbering       dense_rank to 1..N (:635)
+  A5  summary stats     set-difference counts (:649-663)
+  A10 row category      label joined back to members (:933-938)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cluster_report(
+    clusters: DataFrame,
+    edges: DataFrame,
+    corpus_of=None,
+) -> DataFrame:
+    """(url, cluster_id) x (src,dst,status) -> member rows with group_id,
+    remark, category, and lineage columns.
+
+    corpus_of: optional Column expr url -> corpus label (e.g. parsing a
+    source prefix); clusters spanning >1 corpus are classified 'Linked
+    Records' (J3/A3 analog), else 'Duplicate' (size>1) or 'Unique'.
+    """
+    # A2: cluster remark — any non-exact edge makes the cluster fuzzy
+    edge_clusters = edges.join(
+        clusters.select(F.col("url").alias("src"), "cluster_id"), "src"
+    )
+    remarks = edge_clusters.groupBy("cluster_id").agg(
+        F.when(
+            F.max((F.col("status") != "Exact Match").cast("int")) > 0,
+            F.lit("Fuzzy Match"),
+        )
+        .otherwise(F.lit("Exact Match"))
+        .alias("remark")
+    )
+
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size"), F.min("url").alias("min_member")
+    )
+
+    base = clusters.join(sizes, "cluster_id").join(remarks, "cluster_id", "left")
+    if corpus_of is not None:
+        n_corpora = (
+            clusters.withColumn("corpus", corpus_of(F.col("url")))
+            .groupBy("cluster_id")
+            .agg(F.countDistinct("corpus").alias("n_corpora"))
+        )
+        base = base.join(n_corpora, "cluster_id")
+    else:
+        base = base.withColumn("n_corpora", F.lit(1))
+
+    # A3 precedence: Linked > Duplicate > Unique
+    category = (
+        F.when(F.col("n_corpora") > 1, F.lit("Linked Records"))
+        .when(F.col("cluster_size") > 1, F.lit("Duplicate"))
+        .otherwise(F.lit("Unique"))
+    )
+    cat_rank = (
+        F.when(F.col("category") == "Linked Records", 0)
+        .when(F.col("category") == "Duplicate", 1)
+        .otherwise(2)
+    )
+    remark_rank = F.when(F.col("remark") == "Exact Match", 0).otherwise(1)
+
+    labeled = base.withColumn("category", category).withColumn(
+        "remark", F.coalesce("remark", F.lit("Exact Match"))
+    )
+
+    # A4 + A9: order clusters by (class, remark, min member), dense 1..N
+    w = Window.orderBy(
+        cat_rank, remark_rank, F.col("min_member"), F.col("cluster_id")
+    )
+    return (
+        labeled.withColumn("group_id", F.dense_rank().over(w))
+        .select(
+            "group_id",
+            "url",
+            "cluster_id",
+            "category",
+            "remark",
+            "cluster_size",
+        )
+        .orderBy("group_id", "url")
+    )
+
+
+def summary_stats(report: DataFrame) -> dict:
+    """A5 analog: disjoint category counts + totals."""
+    row = (
+        report.agg(
+            F.count("*").alias("total_rows"),
+            F.countDistinct("group_id").alias("n_groups"),
+            F.sum((F.col("category") == "Linked Records").cast("int")).alias(
+                "linked_rows"
+            ),
+            F.sum((F.col("category") == "Duplicate").cast("int")).alias("dup_rows"),
+            F.sum((F.col("category") == "Unique").cast("int")).alias("unique_rows"),
+            F.sum((F.col("remark") == "Fuzzy Match").cast("int")).alias("fuzzy_rows"),
+        )
+        .collect()[0]
+        .asDict()
+    )
+    return {k: int(v) for k, v in row.items()}
+
+
+def top_k_by(df: DataFrame, col: str, k: int = 5) -> DataFrame:
+    """A7 analog (top-5 cities): top-k values of a column by frequency,
+    deterministic tiebreak."""
+    return (
+        df.groupBy(col)
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc(col))
+        .limit(k)
+    )

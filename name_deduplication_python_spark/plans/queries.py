@@ -484,8 +484,143 @@ GROUP BY date_trunc('hour', ts), event_type
 """
 
 # --------------------------------------------------------------------------
+# 14. embedding_similar_pairs — brute-force cosine pair join over the
+#     embeddings table (exact semantics -> DuckDB oracle; the approximate
+#     hyperplane-LSH variant is the rows-only ann_lsh_topk below).
+#     Threshold 0.35 chosen to be non-trivial on the gaussian testdata
+#     (max pairwise cosine there is ~0.51).
+# --------------------------------------------------------------------------
+
+_SIM_THETA = 0.35
+
+
+def q_embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    norm = emb.select(
+        "vec_id",
+        "v",
+        F.sqrt(
+            F.aggregate(
+                F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+            )
+        ).alias("nrm"),
+    )
+    a = norm.select(F.col("vec_id").alias("src"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = norm.select(F.col("vec_id").alias("dst"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        a.crossJoin(b)
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst", (dot / (F.col("na") * F.col("nb"))).alias("cos_raw"))
+        .where(F.col("cos_raw") >= _SIM_THETA)
+        .select("src", "dst", F.round("cos_raw", 4).alias("cosine"))
+    )
+
+
+SQL_EMBEDDING_SIMILAR_PAIRS = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS src, b.vec_id AS dst,
+       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {_SIM_THETA}
+"""
+
+# --------------------------------------------------------------------------
+# 15. linkage_pairs — two-corpus record linkage (J3 analog,
+#     /root/reference/analysis_engine.py:439-449): documents split by
+#     source into "new" (src0-src9) vs "archive" (src1x) corpora, linked
+#     on token-set Jaccard >= 0.5 across corpora only.
+# --------------------------------------------------------------------------
+
+def q_linkage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = _token_sets(docs).join(
+        docs.select("doc_id", (F.length("source") <= 4).alias("is_new")), "doc_id"
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = toks.where(F.col("is_new")).select(F.col("doc_id").alias("src"), "tok")
+    b = toks.where(~F.col("is_new")).select(F.col("doc_id").alias("dst"), "tok")
+    inter = a.join(b, "tok").groupBy("src", "dst").agg(F.count("*").alias("inter"))
+    sa = sizes.select(F.col("doc_id").alias("src"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("dst"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "src")
+        .join(sb, "dst")
+        .select(
+            "src",
+            "dst",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.5)
+    )
+
+
+SQL_LINKAGE_PAIRS = """
+WITH toks AS (
+  SELECT doc_id, length(source) <= 4 AS is_new,
+         unnest(list_distinct(string_split(trim(text), ' '))) AS tok
+  FROM documents
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS inter
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.is_new AND NOT b.is_new
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT src, dst,
+       round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = src
+JOIN sizes sb ON sb.doc_id = dst
+WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.5
+"""
+
+# --------------------------------------------------------------------------
+# 16. orders_by_region — multi-way join chain customer->nation->region with
+#     aggregation (join-reordering / broadcast coverage).
+# --------------------------------------------------------------------------
+
+def q_orders_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+SQL_ORDERS_BY_REGION = """
+SELECT r_name,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+# --------------------------------------------------------------------------
 # Engine-config queries (not SQL-expressible -> rows-only driver check):
-# MinHash-LSH candidates, SimHash pairs, engine clusters on documents.
+# MinHash-LSH candidates, SimHash pairs, substring fingerprints, ANN-LSH.
 # --------------------------------------------------------------------------
 
 def _doc_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -539,6 +674,31 @@ def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing long-repeat pairs over documents (suffix-array-analog
+    substring pass; rows-only check — hash selection isn't ANSI SQL)."""
+    from ..operators.substring import substring_pairs
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"), "text"
+    )
+    out = substring_pairs(docs, gram_chars=32, window=16)
+    return out.select(
+        F.col("src").cast("bigint").alias("src"),
+        F.col("dst").cast("bigint").alias("dst"),
+        "n_shared_fps",
+    )
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-k (scale path of ann_topk;
+    rows-only — approximate by design)."""
+    from ..operators.ann import ann_lsh_topk
+
+    emb = _emb(spark, sf_dir)
+    return ann_lsh_topk(emb, k=5, query_filter=F.col("vec_id") < 10)
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "token_jaccard_pairs": q_token_jaccard_pairs,
@@ -555,6 +715,11 @@ QUERIES = {
     "events_windowed": q_events_windowed,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_near_pairs": q_simhash_near_pairs,
+    "embedding_similar_pairs": q_embedding_similar_pairs,
+    "linkage_pairs": q_linkage_pairs,
+    "orders_by_region": q_orders_by_region,
+    "substring_pairs": q_substring_pairs,
+    "ann_lsh_topk": q_ann_lsh_topk,
 }
 
 ORACLES = {
@@ -571,5 +736,9 @@ ORACLES = {
     "revenue_by_flag": SQL_REVENUE_BY_FLAG,
     "top_customers": SQL_TOP_CUSTOMERS,
     "events_windowed": SQL_EVENTS_WINDOWED,
-    # minhash_lsh_pairs / simhash_near_pairs: engine-config ops, rows-only.
+    "embedding_similar_pairs": SQL_EMBEDDING_SIMILAR_PAIRS,
+    "linkage_pairs": SQL_LINKAGE_PAIRS,
+    "orders_by_region": SQL_ORDERS_BY_REGION,
+    # minhash_lsh_pairs / simhash_near_pairs / substring_pairs /
+    # ann_lsh_topk: engine-config or approximate ops, rows-only checks.
 }

@@ -1,0 +1,138 @@
+"""Incremental (streaming) dedup: new pages arrive, match vs the corpus.
+
+The reference is strictly batch (SURVEY §2.10) — this is the engine
+extension a continuously-crawled corpus needs: a Structured Streaming job
+that, per micro-batch of new pages,
+
+  1. extracts + signs the new pages (same kernels as batch — identical
+     signatures by construction),
+  2. LSH-joins the batch's band keys against the accumulated signature
+     store (new-vs-old two-table join, J3 analog, plus new-vs-new
+     self-join),
+  3. verifies and appends edges, then appends the new signatures to the
+     store (exactly-once per epoch via idempotent epoch subdirs).
+
+foreachBatch is the right tool (not a stateful operator): the signature
+store is too large for stream state and must live in the lake; each
+micro-batch is a bounded batch job against it. Checkpointing comes from
+the streaming checkpoint dir + the store's epoch layout.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import DEFAULT_CONFIG
+from ..operators.extract import extract_stage
+from ..operators.lsh import band_keys, candidate_pairs, candidate_pairs_two_table
+from ..operators.signatures import signature_stage
+from ..operators.verify import verify_stage
+from ..schemas import WEB_PAGES
+
+
+class IncrementalDedup:
+    def __init__(self, spark: SparkSession, store_dir: str, config: dict | None = None):
+        self.spark = spark
+        self.store = store_dir
+        self.cfg = dict(DEFAULT_CONFIG, **(config or {}))
+        os.makedirs(os.path.join(store_dir, "signatures"), exist_ok=True)
+        os.makedirs(os.path.join(store_dir, "edges"), exist_ok=True)
+
+    def _sig_store(self) -> DataFrame | None:
+        path = os.path.join(self.store, "signatures")
+        try:
+            df = self.spark.read.parquet(path)
+            return df if len(df.columns) else None
+        except Exception:
+            return None
+
+    def process_batch(self, pages: DataFrame, epoch_id: int) -> None:
+        """foreachBatch body — also callable directly for unit tests."""
+        c = self.cfg
+        sig_epoch = os.path.join(self.store, "signatures", f"epoch={epoch_id}")
+        if os.path.exists(os.path.join(sig_epoch, "_SUCCESS")):
+            return  # epoch replayed after restart: already applied
+        extracted = extract_stage(pages)
+        new_sigs = signature_stage(
+            extracted,
+            num_hashes=c["num_hashes"],
+            shingle_k=c["shingle_k"],
+            seed=c["seed"],
+        ).localCheckpoint()
+        new_keys = band_keys(
+            new_sigs, bands=c["bands"], rows_per_band=c["rows_per_band"]
+        )
+
+        # new-vs-new self-join
+        pairs, _ = candidate_pairs(new_keys, bucket_cap=c["bucket_cap"])
+        all_sigs = new_sigs
+        old_sigs = self._sig_store()
+        if old_sigs is not None:
+            old_keys = band_keys(
+                old_sigs.drop("epoch"),
+                bands=c["bands"],
+                rows_per_band=c["rows_per_band"],
+            )
+            cross = candidate_pairs_two_table(new_keys, old_keys)
+            pairs = pairs.unionByName(cross).distinct()
+            all_sigs = new_sigs.unionByName(old_sigs.drop("epoch"))
+
+        edges = verify_stage(
+            pairs,
+            all_sigs,
+            num_hashes=c["num_hashes"],
+            jaccard_threshold=c["jaccard_threshold"],
+            simhash_radius=c["simhash_radius"],
+        )
+        edges.write.mode("overwrite").parquet(
+            os.path.join(self.store, "edges", f"epoch={epoch_id}")
+        )
+        new_sigs.write.mode("overwrite").parquet(sig_epoch)
+
+    def start(self, source_dir: str, checkpoint_dir: str, available_now: bool = True):
+        """File-source stream of web_pages parquet -> incremental dedup."""
+        stream = (
+            self.spark.readStream.schema(WEB_PAGES)
+            .option("maxFilesPerTrigger", "8")
+            .parquet(source_dir)
+        )
+        writer = stream.writeStream.foreachBatch(self.process_batch).option(
+            "checkpointLocation", checkpoint_dir
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def edges(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.store, "edges"))
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation over a (streaming or batch)
+    events DataFrame — late data beyond the watermark is dropped in
+    streaming mode; in batch mode the same plan is a plain window agg
+    (mirrors plans/queries.q_events_windowed)."""
+    # watermarks require TIMESTAMP (LTZ); parquet NTZ is cast (UTC session)
+    df = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    if events.isStreaming:
+        df = df.withWatermark("ts", watermark)
+    return (
+        df.groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").cast("string").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

@@ -1,0 +1,112 @@
+"""Cluster report (A2-A10 analogs) and audit (R1-R5 analogs) tests."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from name_deduplication_python_spark.operators.audit import audit_edges
+from name_deduplication_python_spark.operators.report import (
+    cluster_report,
+    summary_stats,
+    top_k_by,
+)
+
+
+def _fixture(spark):
+    clusters = spark.createDataFrame(
+        [
+            ("a1", "a1"), ("a2", "a1"),            # exact dup cluster
+            ("b1", "b1"), ("b2", "b1"), ("b3", "b1"),  # fuzzy cluster
+            ("c1", "c1"),                           # unique
+            ("x1", "x1"), ("y2", "x1"),             # cross-corpus (x/y)
+        ],
+        "url string, cluster_id string",
+    )
+    edges = spark.createDataFrame(
+        [
+            ("a1", "a2", "Exact Match"),
+            ("b1", "b2", "Fuzzy Match"),
+            ("b2", "b3", "Exact Match"),
+            ("x1", "y2", "Exact Match"),
+        ],
+        "src string, dst string, status string",
+    )
+    return clusters, edges
+
+
+def test_cluster_report_semantics(spark):
+    clusters, edges = _fixture(spark)
+    rep = cluster_report(
+        clusters, edges, corpus_of=lambda u: F.substring(u, 1, 1)
+    ).toPandas()
+
+    by_url = rep.set_index("url")
+    # A2: any fuzzy edge -> whole cluster fuzzy
+    assert by_url.loc["b1", "remark"] == "Fuzzy Match"
+    assert by_url.loc["b3", "remark"] == "Fuzzy Match"
+    assert by_url.loc["a1", "remark"] == "Exact Match"
+    # A3 precedence: cross-corpus cluster is Linked Records and ranks first
+    assert by_url.loc["x1", "category"] == "Linked Records"
+    assert by_url.loc["x1", "group_id"] == 1
+    assert by_url.loc["a1", "category"] == "Duplicate"
+    assert by_url.loc["c1", "category"] == "Unique"
+    # A9: dense group ids 1..N
+    assert sorted(rep["group_id"].unique()) == [1, 2, 3, 4]
+    # exact-before-fuzzy within Duplicate class (A4)
+    assert by_url.loc["a1", "group_id"] < by_url.loc["b1", "group_id"]
+
+    s = summary_stats(spark.createDataFrame(rep))
+    assert s["total_rows"] == 8 and s["n_groups"] == 4
+    assert s["linked_rows"] == 2 and s["dup_rows"] == 5 and s["unique_rows"] == 1
+
+
+def test_top_k_by(spark):
+    df = spark.createDataFrame(
+        [("en",)] * 5 + [("de",)] * 3 + [("fr",)] * 3 + [("es",)],
+        "lang string",
+    )
+    got = top_k_by(df, "lang", k=2).toPandas()
+    assert list(got["lang"]) == ["en", "de"]  # tie de/fr broken by name
+
+
+def test_audit_flags_planted_inconsistencies(spark):
+    texts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": ["p1", "p2", "q1", "q2"],
+                "text": [
+                    "alpha beta gamma delta epsilon zeta",
+                    "alpha beta gamma delta epsilon zeta",   # true exact
+                    "one two three four five six seven",
+                    "totally different words entirely here now",  # NOT similar
+                ],
+            }
+        )
+    )
+    edges = spark.createDataFrame(
+        [
+            ("p1", "p2", 1.0, 0, "Exact Match"),      # consistent -> clean
+            ("q1", "q2", 0.9, 1, "Exact Match"),       # planted false positive
+        ],
+        "src string, dst string, est_jaccard double, hamming int, status string",
+    )
+    flagged = audit_edges(edges, texts).toPandas()
+    assert set(flagged["src"]) == {"q1"}
+    assert flagged.iloc[0]["issue"] == "exact-status-but-texts-differ"
+
+
+def test_audit_clean_on_honest_edges(spark):
+    texts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": ["p1", "p2"],
+                "text": ["w1 w2 w3 w4 w5 w6 w7 w8", "w1 w2 w3 w4 w5 w6 w7 w8"],
+            }
+        )
+    )
+    edges = spark.createDataFrame(
+        [("p1", "p2", 1.0, 0, "Exact Match")],
+        "src string, dst string, est_jaccard double, hamming int, status string",
+    )
+    assert audit_edges(edges, texts).count() == 0

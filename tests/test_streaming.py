@@ -1,0 +1,93 @@
+"""Structured-streaming incremental dedup tests."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from name_deduplication_python_spark.sources.corpus import (
+    corpus_to_spark,
+    generate_corpus,
+)
+from name_deduplication_python_spark.streaming.incremental import (
+    IncrementalDedup,
+    windowed_event_counts,
+)
+
+
+def test_incremental_batches_find_cross_batch_dups(spark, tmp_path):
+    pages, truth = generate_corpus(n_base=80, seed=21)
+    df = corpus_to_spark(spark, pages).cache()
+    # even/odd split: planted pairs have consecutive ids, so every exact
+    # pair lands across the two batches
+    urls_sorted = sorted(pages["url"])
+    evens = set(urls_sorted[::2])
+    first = df.where(df.url.isin(list(evens)))
+    second = df.where(~df.url.isin(list(evens)))
+
+    inc = IncrementalDedup(spark, str(tmp_path / "store"))
+    inc.process_batch(first, 0)
+    inc.process_batch(second, 1)
+
+    got = {(r["src"], r["dst"]) for r in inc.edges().select("src", "dst").collect()}
+    got |= {(b, a) for a, b in got}
+    exact = truth[truth.kind == "exact"]
+    cross = [
+        (a, b) for a, b in zip(exact.src, exact.dst) if (a in evens) != (b in evens)
+    ]
+    assert cross, "fixture must split at least one exact pair across batches"
+    for a, b in cross:
+        assert (a, b) in got, f"cross-batch exact dup {a},{b} missed"
+
+
+def test_epoch_replay_is_idempotent(spark, tmp_path):
+    pages, _ = generate_corpus(n_base=30, seed=22)
+    df = corpus_to_spark(spark, pages)
+    inc = IncrementalDedup(spark, str(tmp_path / "store"))
+    inc.process_batch(df, 0)
+    n1 = inc.edges().count()
+    inc.process_batch(df, 0)  # replay same epoch (restart semantics)
+    assert inc.edges().count() == n1
+
+
+def test_streaming_end_to_end_available_now(spark, tmp_path):
+    pages, _ = generate_corpus(n_base=40, seed=23)
+    src = str(tmp_path / "src")
+    corpus_to_spark(spark, pages).repartition(4).write.parquet(src)
+    inc = IncrementalDedup(spark, str(tmp_path / "store"))
+    q = inc.start(src, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert inc.edges().count() > 0
+    sigs = spark.read.parquet(os.path.join(str(tmp_path / "store"), "signatures"))
+    assert sigs.count() == len(pages) - spark.read.parquet(src).where(
+        "text is null and html is null"
+    ).count()
+
+
+def test_windowed_event_counts_streaming_plan(spark, tmp_path):
+    # batch parity: streaming plan over the same data yields the batch agg
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    batch = windowed_event_counts(ev).toPandas()
+    assert (batch["n_events"] > 0).all()
+
+    src = str(tmp_path / "ev")
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    out = windowed_event_counts(stream, watermark="10 minutes")
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wincounts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from wincounts").toPandas()
+    # append mode emits only watermark-closed windows; all must match batch
+    merged = got.merge(
+        batch, on=["window_start", "event_type"], suffixes=("_s", "_b")
+    )
+    assert len(merged) == len(got)
+    assert (merged["n_events_s"] == merged["n_events_b"]).all()
