@@ -62,21 +62,33 @@ def _sf_of(path: str) -> float:
         return -1.0
 
 
+def _corpus_spec(n_docs: int) -> tuple[int, int, int]:
+    """(n_base, min_tokens, max_tokens). Overridable via
+    SPARK_GRAFT_CORPUS_SPEC='nb<base>_t<min>-<max>' (scaling mode uses a
+    larger, longer-doc corpus so compute dominates fixed overhead)."""
+    spec = os.environ.get("SPARK_GRAFT_CORPUS_SPEC")
+    if spec:
+        nb = int(spec.split("_")[0][2:])
+        lo, hi = spec.split("_t")[1].split("-")
+        return nb, int(lo), int(hi)
+    return n_docs * 4, 80, 400
+
+
 def _corpus_parquet(spark, n_docs: int) -> tuple[str, int]:
     """Deterministic synthetic corpus cached as parquet (seed=42)."""
-    n_base = n_docs * 4
-    cache = os.path.join(REPO, ".bench_cache", f"corpus_nb{n_base}_seed42")
-    marker = os.path.join(cache, "_SUCCESS")
+    n_base, lo, hi = _corpus_spec(n_docs)
+    cache = os.path.join(
+        REPO, ".bench_cache", f"corpus_nb{n_base}_t{lo}-{hi}_seed42"
+    )
+    marker = os.path.join(cache, "_BUILD_DONE")
     if not os.path.exists(marker):
         from name_deduplication_python_spark.sources.corpus import (
-            corpus_to_spark,
-            generate_corpus,
+            build_corpus_parquet,
         )
 
-        pages, _ = generate_corpus(n_base=n_base, seed=42)
-        corpus_to_spark(spark, pages).repartition(max(CPUS, 8)).write.mode(
-            "overwrite"
-        ).parquet(cache)
+        build_corpus_parquet(
+            spark, cache, n_base=n_base, seed=42, min_tokens=lo, max_tokens=hi
+        )
     n_pages = spark.read.parquet(cache).count()
     return cache, n_pages
 
@@ -104,10 +116,11 @@ def run_bench() -> dict:
     for stage, sec in pipe.stage_seconds.items():
         timings[f"stage_{stage}"] = round(sec, 3)
 
-    for name in HEADLINE_QUERIES:
-        t = time.time()
-        QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t, 3)
+    if not os.environ.get("SPARK_GRAFT_SKIP_QUERIES"):
+        for name in HEADLINE_QUERIES:
+            t = time.time()
+            QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t, 3)
 
     docs_per_sec = n_pages / e2e
     result = {
@@ -130,8 +143,15 @@ def run_scaling() -> None:
     """BASELINE.md protocol: same input, local[8] vs local[32], cold start
     each; report throughput at both + scaling efficiency."""
     results = {}
+    spec = os.environ.get("SPARK_GRAFT_CORPUS_SPEC", "nb500000_t300-900")
     for cpus in (8, 32):
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=SF_DIR)
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_CPUS=str(cpus),
+            SPARK_GRAFT_SF_DIR=SF_DIR,
+            SPARK_GRAFT_CORPUS_SPEC=spec,
+            SPARK_GRAFT_SKIP_QUERIES="1",
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,

@@ -61,16 +61,58 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _cc_single_task(edges: DataFrame) -> DataFrame:
+    """Small-graph fast path: one grouped-map task runs union-find over the
+    whole (small) edge set. Exactly the same min-label semantics as the
+    iterative path; used only below ``small_graph_threshold`` edges, where
+    iteration scheduling latency would dominate (each large/small-star
+    round is ~3 tiny jobs — pure overhead on a graph that fits in one
+    task). At 10^12-doc scale the iterative path runs."""
+    import pandas as pd
+
+    schema = edges.select(
+        F.col("src").alias("url"), F.col("src").alias("cluster_id")
+    ).schema
+
+    def uf(pdf: pd.Series | "pd.DataFrame") -> "pd.DataFrame":
+        parent: dict = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(pdf["src"], pdf["dst"]):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = list(parent)
+        return pd.DataFrame({"url": nodes, "cluster_id": [find(n) for n in nodes]})
+
+    return (
+        edges.select("src", "dst")
+        .coalesce(1)
+        .groupBy(F.lit(1).alias("_g"))
+        .applyInPandas(
+            lambda pdf: uf(pdf), schema=schema
+        )
+    )
+
+
 def connected_components(
     edges: DataFrame,
     max_iterations: int = 50,
     checkpoint_every: int = 1,
+    small_graph_threshold: int = 2_000_000,
 ) -> DataFrame:
     """edges(src, dst) -> (url, cluster_id): every node that appears in an
     edge, labeled with the minimum node id of its component."""
     cur = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
     cur = cur.localCheckpoint()
     prev_sum = _checksum(cur)
+    if small_graph_threshold and prev_sum[0] <= small_graph_threshold:
+        return _cc_single_task(cur)
     for it in range(max_iterations):
         cur = _small_star(_large_star(cur))
         if checkpoint_every and (it % checkpoint_every == 0):

@@ -65,8 +65,11 @@ def candidate_pairs(
 
     Returns (pairs, bucket_stats). pairs is distinct across bands.
     """
-    counts = keys.groupBy("band", "bh").agg(F.count("*").alias("n"))
+    # single shuffle on (band, bh): window count replaces groupBy+join-back
+    wp = Window.partitionBy("band", "bh")
+    keyed = keys.withColumn("n", F.count("*").over(wp)).where(F.col("n") > 1)
 
+    counts = keys.groupBy("band", "bh").agg(F.count("*").alias("n"))
     bucket_stats = counts.groupBy().agg(
         F.count("*").alias("n_buckets"),
         F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias("n_singleton"),
@@ -77,9 +80,6 @@ def candidate_pairs(
         ).alias("full_pairing_cost"),
     )
 
-    multi = counts.where(F.col("n") > 1)
-    keyed = keys.join(multi, ["band", "bh"])  # drop singleton buckets pre-join
-
     small = keyed.where(F.col("n") <= bucket_cap).drop("n")
     hot = keyed.where(F.col("n") > bucket_cap).drop("n")
 
@@ -88,13 +88,14 @@ def candidate_pairs(
     b = small.select("band", "bh", F.col(id_col).alias("dst"))
     small_pairs = a.join(b, ["band", "bh"]).where(F.col("src") < F.col("dst"))
 
-    # hot buckets: linear star (to bucket min) + chain (to successor)
-    w = Window.partitionBy("band", "bh").orderBy(id_col)
+    # hot buckets: linear star (to bucket min) + chain (to successor);
+    # same (band, bh) partitioning as the count window -> exchange reuse
+    w = wp.orderBy(id_col)
     ranked = hot.select(
         "band",
         "bh",
         F.col(id_col),
-        F.min(id_col).over(Window.partitionBy("band", "bh")).alias("bmin"),
+        F.min(id_col).over(wp).alias("bmin"),
         F.lead(id_col).over(w).alias("nxt"),
     )
     star = ranked.where(F.col(id_col) > F.col("bmin")).select(

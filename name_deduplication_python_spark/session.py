@@ -48,6 +48,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # small-file inputs must still fan out to all cores: the default
+        # 128MB maxPartitionBytes collapses a ~1GB corpus to ~8 scan
+        # partitions, serializing the pandas-UDF stages (measured: extract
+        # took 107s at BOTH local[8] and local[32] before this)
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(1 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -69,6 +69,9 @@ def generate_corpus(
     seed: int = 42,
     with_html: bool = True,
     null_text_frac: float = 0.5,
+    min_tokens: int = 80,
+    max_tokens: int = 400,
+    url_offset: int = 0,
 ) -> tuple[pd.DataFrame, pd.DataFrame]:
     """Return (pages, truth_pairs).
 
@@ -90,9 +93,9 @@ def generate_corpus(
     t0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
 
     def url_of(i: int) -> str:
-        return f"https://example.org/doc/{i:07d}"
+        return f"https://example.org/doc/{i:09d}"
 
-    next_id = 0
+    next_id = url_offset
 
     def add(text: str, lang: str) -> str:
         nonlocal next_id
@@ -113,7 +116,7 @@ def generate_corpus(
     near_levels = [("near95", 0.005), ("near90", 0.0105), ("near80", 0.022), ("near50", 0.067)]
     for b in range(n_base):
         lang = _LANGS[int(rng.integers(0, len(_LANGS)))]
-        n_tokens = int(rng.integers(80, 400))
+        n_tokens = int(rng.integers(min_tokens, max_tokens))
         text = _base_text(rng, vocab, n_tokens)
         if b % 17 == 0:  # (e) unicode edges
             text = _UNICODE_SNIPPETS[b // 17 % len(_UNICODE_SNIPPETS)] + " " + text
@@ -158,3 +161,42 @@ def corpus_to_spark(spark, pages: pd.DataFrame):
     from ..schemas import WEB_PAGES
 
     return spark.createDataFrame(pages, schema=WEB_PAGES)
+
+
+def build_corpus_parquet(
+    spark,
+    path: str,
+    n_base: int,
+    seed: int = 42,
+    chunk_base: int = 25000,
+    min_tokens: int = 80,
+    max_tokens: int = 400,
+    partitions_per_chunk: int = 8,
+) -> int:
+    """Write a large corpus to parquet in deterministic chunks (bounded
+    driver memory): chunk i uses seed+i and a disjoint url range. Returns
+    total pages written."""
+    import os
+
+    from ..schemas import WEB_PAGES
+
+    total = 0
+    mode = "overwrite"
+    n_chunks = (n_base + chunk_base - 1) // chunk_base
+    for i in range(n_chunks):
+        nb = min(chunk_base, n_base - i * chunk_base)
+        pages, _ = generate_corpus(
+            n_base=nb,
+            seed=seed + i,
+            min_tokens=min_tokens,
+            max_tokens=max_tokens,
+            url_offset=i * chunk_base * 2,  # disjoint url ranges (<2x fanout)
+        )
+        spark.createDataFrame(pages, schema=WEB_PAGES).repartition(
+            partitions_per_chunk
+        ).write.mode(mode).parquet(path)
+        mode = "append"
+        total += len(pages)
+    # atomicity marker for cache checks
+    open(os.path.join(path, "_BUILD_DONE"), "w").write(str(total))
+    return total

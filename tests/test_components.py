@@ -29,11 +29,16 @@ def _uf_oracle(edges: list[tuple[str, str]]) -> dict[str, str]:
 
 def _check(spark, edges: list[tuple[str, str]]):
     df = spark.createDataFrame(edges, "src string, dst string")
-    got = {
-        r["url"]: r["cluster_id"] for r in connected_components(df).collect()
-    }
     want = _uf_oracle(edges)
-    assert got == want, (got, want)
+    # both code paths: single-task fast path AND iterative large/small-star
+    for threshold in (2_000_000, 0):
+        got = {
+            r["url"]: r["cluster_id"]
+            for r in connected_components(
+                df, small_graph_threshold=threshold
+            ).collect()
+        }
+        assert got == want, (threshold, got, want)
 
 
 def test_cc_simple_chain(spark):
