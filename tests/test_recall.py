@@ -91,6 +91,51 @@ def test_recall_vs_bruteforce_oracle(spark, corpus):
     assert recall >= 0.99, f"recall {recall:.4f} ({hit}/{len(want)})"
 
 
+def test_recall_survives_hot_bucket_capping(spark):
+    """Skew mitigation must not cost recall (SURVEY §7.5): a large family
+    of identical/near-identical docs makes every one of its band buckets
+    hot; with a tiny bucket_cap the star+chain path must still keep the
+    family fully clustered, and unrelated docs out."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(13)
+    vocab = [f"w{i}" for i in range(400)]
+    base = " ".join(rng.choice(vocab, size=200))
+    rows = [("hot%03d" % i, base) for i in range(40)]  # 40 exact copies
+    for i in range(5):  # near-dups of the family
+        toks = base.split(" ")
+        toks[10 * i] = "sub%d" % i
+        rows.append(("near%02d" % i, " ".join(toks)))
+    for i in range(30):  # unrelated
+        rows.append(("uniq%02d" % i, " ".join(rng.choice(vocab, size=200))))
+    pdf = pd.DataFrame(rows, columns=["url", "text"])
+    texts = dict(rows)
+
+    cfg = DEFAULT_CONFIG
+    want = _oracle_pairs(texts, cfg["shingle_k"], cfg["jaccard_threshold"])
+    assert len(want) >= 900  # C(45,2) family pairs
+
+    extracted = spark.createDataFrame(pdf).cache()
+    sigs = signature_stage(
+        extracted, num_hashes=cfg["num_hashes"], shingle_k=cfg["shingle_k"],
+        seed=cfg["seed"],
+    ).cache()
+    keys = band_keys(sigs, bands=cfg["bands"], rows_per_band=cfg["rows_per_band"])
+    pairs, stats = candidate_pairs(keys, bucket_cap=4)  # force capped path
+    assert stats.collect()[0]["n_hot"] > 0, "fixture must produce hot buckets"
+    edges = verify_stage(
+        pairs, sigs, num_hashes=cfg["num_hashes"],
+        jaccard_threshold=cfg["jaccard_threshold"],
+        simhash_radius=cfg["simhash_radius"],
+    )
+    clusters = components_with_singletons(edges.select("src", "dst"), extracted, "url")
+    lab = {r["url"]: r["cluster_id"] for r in clusters.collect()}
+    hit = sum(1 for a, b in want if lab[a] == lab[b])
+    recall = hit / len(want)
+    assert recall >= 0.99, f"capped-path recall {recall:.4f} ({hit}/{len(want)})"
+
+
 def test_extraction_byte_identity_e2e(spark, corpus):
     pages, _, texts = corpus
     df = corpus_to_spark(spark, pages)

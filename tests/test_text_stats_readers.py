@@ -1,0 +1,109 @@
+"""Tests: readers (S1/P4), nickname generation (N1-N6), text stats."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from name_deduplication_python_spark.functions.nicknames import (
+    apply_overrides,
+    generate_nicknames_py,
+    nickname_generation,
+)
+from name_deduplication_python_spark.functions.text_stats import (
+    bpe_token_estimate,
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from name_deduplication_python_spark.sources.readers import (
+    read_table,
+    with_row_provenance,
+)
+
+
+def test_read_csv_permissive_drops_allnull(spark, tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text('a,b\n1,x\n,,\n2,"y,z"\n,\n')
+    df = read_table(spark, str(p))
+    rows = df.collect()
+    assert len(rows) == 2
+    assert rows[1]["b"] == "y,z"  # quoted separator survives
+    assert dict(df.dtypes)["a"] == "string"  # string-typed like the reference
+
+
+def test_read_tsv_and_excel_stub(spark, tmp_path):
+    p = tmp_path / "in.txt"
+    p.write_text("a\tb\n1\tx\n")
+    assert read_table(spark, str(p)).count() == 1
+    with pytest.raises(NotImplementedError, match="Excel"):
+        read_table(spark, str(tmp_path / "x.xlsx"))
+
+
+def test_row_provenance(spark):
+    df = spark.createDataFrame([("a",), ("b",)], "v string")
+    out = with_row_provenance(df, "userfile").toPandas()
+    assert set(out["src_table"]) == {"userfile"}
+    assert out["src_row_id"].nunique() == 2
+
+
+def test_nickname_rules():
+    assert "joey" in generate_nicknames_py("Jose")          # N3 curated
+    assert "rob" in generate_nicknames_py("Robney")         # N1 prefix 3
+    assert "jo" in generate_nicknames_py("Jovito")          # N1 prefix 2
+    assert "bert" in generate_nicknames_py("Gilbert")       # N2 part
+    assert "kristian" in generate_nicknames_py("Christian") # N4 phonetic
+    multi = generate_nicknames_py("Maria Luisa")
+    assert set(multi) == {"maria", "luisa"}                 # N5 multi-word
+    assert generate_nicknames_py("Ma. Luisa") == ["luisa", "maria"]
+    assert generate_nicknames_py("") == []
+    assert all(len(n) >= 2 for n in generate_nicknames_py("Al"))
+
+
+def test_nickname_generation_spark_and_overrides(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"formal_name": ["Jose", "Gilbert", "Unknownxyz"]})
+    )
+    gen = nickname_generation(df)
+    got = gen.toPandas()
+    assert ("joey", "jose") in set(zip(got.nickname, got.formal_name))
+    ov = spark.createDataFrame(
+        [("pepito", "jose")], "nickname string, formal_name string"
+    )
+    merged = apply_overrides(gen, ov).toPandas()
+    jose_nicks = set(merged[merged.formal_name == "jose"]["nickname"])
+    assert jose_nicks == {"pepito"}  # override replaces generated set
+    assert "gilbert" in set(merged.formal_name)
+
+
+def test_text_stats_exprs(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "text": [
+                    "the cat sat on the mat and the dog is here now ok fine",
+                    "el perro y el gato que corre en la casa de la madre",
+                    "日本語のテキストです",
+                    "!!! ??? ###",
+                ]
+            }
+        )
+    )
+    out = df.select(
+        token_count("text").alias("tc"),
+        bpe_token_estimate("text").alias("bpe"),
+        lang_id(F.col("text")).alias("lang"),
+        quality_score(F.col("text")).alias("q"),
+        doc_fingerprint("text").alias("fp"),
+    ).collect()
+    assert out[0]["lang"] == "en"
+    assert out[1]["lang"] == "es"
+    assert out[2]["lang"] == "zh/ja/ko"
+    assert out[3]["lang"] == "und"
+    assert out[0]["bpe"] >= out[0]["tc"]
+    assert out[0]["q"] > out[3]["q"]
+    # determinism
+    out2 = df.select(doc_fingerprint("text").alias("fp")).collect()
+    assert [r["fp"] for r in out2] == [r["fp"] for r in out]
