@@ -255,6 +255,12 @@ All runs (throughput, steal%%):
 Raw JSON (best runs):
 - local[{n_small}]: `{json.dumps(results[n_small])}`
 - local[{n_big}]: `{json.dumps(results[n_big])}`
+
+Submission mode (north_rule): the same pipeline runs via
+`spark-submit --py-files` — see scripts/submit_dedup.py; verified in-sandbox:
+`zip -qr /tmp/name_dedup.zip name_deduplication_python_spark && \\
+ $SPARK_HOME/bin/spark-submit --master local[8] --py-files /tmp/name_dedup.zip \\
+ scripts/submit_dedup.py --input <pages.parquet> --workdir <dir>`
 """
         )
     print(json.dumps({"efficiency": round(eff, 3), "tp8": tp8, "tp32": tp32}))

@@ -60,14 +60,22 @@ def candidate_pairs(
     keys: DataFrame,
     id_col: str = "url",
     bucket_cap: int = 64,
+    materialize: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """(id, band, bh) -> canonical candidate pair DataFrame (src < dst).
 
     Returns (pairs, bucket_stats). pairs is distinct across bands.
+
+    materialize: localCheckpoint the counted key set before branching —
+    the small/hot/self-join branches would otherwise each recompute the
+    upstream scan + window shuffle (observed in .explain: no exchange
+    reuse across the three branches).
     """
     # single shuffle on (band, bh): window count replaces groupBy+join-back
     wp = Window.partitionBy("band", "bh")
     keyed = keys.withColumn("n", F.count("*").over(wp)).where(F.col("n") > 1)
+    if materialize:
+        keyed = keyed.localCheckpoint()
 
     counts = keys.groupBy("band", "bh").agg(F.count("*").alias("n"))
     bucket_stats = counts.groupBy().agg(

@@ -619,6 +619,63 @@ GROUP BY r_name
 """
 
 # --------------------------------------------------------------------------
+# 17. user_sessions — gap-based sessionization over events (lag window +
+#     running sum; the streaming-shaped stateful op in batch form).
+#     Session breaks after a 30-minute silence per user.
+# --------------------------------------------------------------------------
+
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("is_new"),
+    )
+    sess = marked.withColumn(
+        "session_seq",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+            (
+                F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+            ).alias("duration_sec"),
+        )
+        .where(F.col("n_events") >= 2)
+    )
+
+
+SQL_USER_SESSIONS = """
+WITH marked AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM marked
+)
+SELECT user_id, session_seq,
+       count(*) AS n_events,
+       round(sum(value), 4) AS session_value,
+       floor(epoch(max(ts)))::BIGINT - floor(epoch(min(ts)))::BIGINT AS duration_sec
+FROM sess
+GROUP BY user_id, session_seq
+HAVING count(*) >= 2
+"""
+
+# --------------------------------------------------------------------------
 # Engine-config queries (not SQL-expressible -> rows-only driver check):
 # MinHash-LSH candidates, SimHash pairs, substring fingerprints, ANN-LSH.
 # --------------------------------------------------------------------------
@@ -718,6 +775,7 @@ QUERIES = {
     "embedding_similar_pairs": q_embedding_similar_pairs,
     "linkage_pairs": q_linkage_pairs,
     "orders_by_region": q_orders_by_region,
+    "user_sessions": q_user_sessions,
     "substring_pairs": q_substring_pairs,
     "ann_lsh_topk": q_ann_lsh_topk,
 }
@@ -739,6 +797,7 @@ ORACLES = {
     "embedding_similar_pairs": SQL_EMBEDDING_SIMILAR_PAIRS,
     "linkage_pairs": SQL_LINKAGE_PAIRS,
     "orders_by_region": SQL_ORDERS_BY_REGION,
+    "user_sessions": SQL_USER_SESSIONS,
     # minhash_lsh_pairs / simhash_near_pairs / substring_pairs /
     # ann_lsh_topk: engine-config or approximate ops, rows-only checks.
 }

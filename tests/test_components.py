@@ -73,6 +73,31 @@ def test_cc_duplicate_and_reversed_edges(spark):
     _check(spark, [("b", "a"), ("a", "b"), ("b", "c"), ("c", "b")])
 
 
+def test_cc_partition_invariance(spark):
+    """Cluster labels must not depend on partitioning (SURVEY §7.5):
+    the same edge set under different partition layouts yields identical
+    min-label assignments on both code paths."""
+    rng = np.random.default_rng(9)
+    nodes = [f"p{i:03d}" for i in range(80)]
+    edges = [
+        (nodes[a], nodes[b])
+        for a, b in (
+            rng.choice(len(nodes), size=2, replace=False) for _ in range(60)
+        )
+    ]
+    base = spark.createDataFrame(edges, "src string, dst string")
+    want = _uf_oracle(edges)
+    for parts in (1, 7, 32):
+        for threshold in (2_000_000, 0):
+            got = {
+                r["url"]: r["cluster_id"]
+                for r in connected_components(
+                    base.repartition(parts), small_graph_threshold=threshold
+                ).collect()
+            }
+            assert got == want, (parts, threshold)
+
+
 def test_singletons(spark):
     edges = spark.createDataFrame([("a", "b")], "src string, dst string")
     ids = spark.createDataFrame([("a",), ("b",), ("z",)], "url string")

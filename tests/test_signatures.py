@@ -15,8 +15,12 @@ from name_deduplication_python_spark.operators.signatures import (
 
 
 def _oracle_minhash(text: str, num_hashes: int, k: int, seed: int) -> np.ndarray:
+    from name_deduplication_python_spark.operators.signatures import (
+        token_hash_oracle,
+    )
+
     toks = text.split(" ")
-    th = pd.util.hash_array(np.array(toks, dtype=object))
+    th = np.array([token_hash_oracle(t) for t in toks], dtype=np.uint64)
     if len(toks) >= k:
         shingles = []
         for i in range(len(toks) - k + 1):
