@@ -61,6 +61,7 @@ def candidate_pairs(
     id_col: str = "url",
     bucket_cap: int = 64,
     materialize: bool = True,
+    total_keys: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(id, band, bh) -> canonical candidate pair DataFrame (src < dst).
 
@@ -70,6 +71,12 @@ def candidate_pairs(
     the small/hot/self-join branches would otherwise each recompute the
     upstream scan + window shuffle (observed in .explain: no exchange
     reuse across the three branches).
+
+    total_keys: total (id, band, bh) rows INCLUDING singleton buckets —
+    lets bucket_stats report singleton counts without re-aggregating the
+    full key set (the caller usually knows it: nonempty_docs * bands).
+    Stats derive from the already-checkpointed multi-bucket rows: each
+    row contributes 1/n, so sum(1/n) counts buckets exactly.
     """
     # single shuffle on (band, bh): window count replaces groupBy+join-back
     wp = Window.partitionBy("band", "bh")
@@ -77,15 +84,30 @@ def candidate_pairs(
     if materialize:
         keyed = keyed.localCheckpoint()
 
-    counts = keys.groupBy("band", "bh").agg(F.count("*").alias("n"))
-    bucket_stats = counts.groupBy().agg(
-        F.count("*").alias("n_buckets"),
-        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias("n_singleton"),
-        F.sum(F.when(F.col("n") > bucket_cap, 1).otherwise(0)).alias("n_hot"),
-        F.max("n").alias("max_bucket"),
-        F.sum(
-            F.when(F.col("n") > 1, F.col("n") * (F.col("n") - 1) / 2).otherwise(0)
-        ).alias("full_pairing_cost"),
+    tk = F.lit(total_keys) if total_keys is not None else F.lit(None).cast("long")
+    bucket_stats = keyed.groupBy().agg(
+        F.coalesce(F.round(F.sum(1.0 / F.col("n"))).cast("long"), F.lit(0)).alias(
+            "n_multi_buckets"
+        ),
+        F.count("*").alias("n_multi_rows"),
+        F.coalesce(
+            F.round(
+                F.sum(
+                    F.when(F.col("n") > bucket_cap, 1.0 / F.col("n")).otherwise(0.0)
+                )
+            ).cast("long"),
+            F.lit(0),
+        ).alias("n_hot"),
+        F.coalesce(F.max("n"), F.lit(0)).alias("max_bucket"),
+        F.coalesce(F.round(F.sum((F.col("n") - 1) / 2.0), 1), F.lit(0.0)).alias(
+            "full_pairing_cost"
+        ),
+    ).select(
+        (tk - F.col("n_multi_rows") + F.col("n_multi_buckets")).alias("n_buckets"),
+        (tk - F.col("n_multi_rows")).alias("n_singleton"),
+        "n_hot",
+        "max_bucket",
+        "full_pairing_cost",
     )
 
     small = keyed.where(F.col("n") <= bucket_cap).drop("n")

@@ -56,13 +56,27 @@ def _done(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
 
 
-def _lineage(df: DataFrame, stage: str) -> DataFrame:
-    """Per-partition lineage rows: (stage, partition_id, n_rows)."""
-    return (
-        df.groupBy(F.spark_partition_id().alias("partition_id"))
-        .agg(F.count("*").alias("n_rows"))
-        .select(F.lit(stage).alias("stage"), "partition_id", "n_rows")
-    )
+def _lineage_rows(path: str, stage: str) -> list[dict]:
+    """Per-partition lineage rows (stage, partition_id, n_rows, file) read
+    from the parquet footers of the just-written stage output — no Spark
+    job (the old groupBy(spark_partition_id) cost one full scan per stage,
+    pure fixed overhead in the job's critical path)."""
+    import pyarrow.parquet as pq
+
+    rows = []
+    for i, name in enumerate(sorted(os.listdir(path))):
+        if not name.endswith(".parquet"):
+            continue
+        meta = pq.read_metadata(os.path.join(path, name))
+        rows.append(
+            {
+                "stage": stage,
+                "partition_id": i,
+                "n_rows": meta.num_rows,
+                "file": name,
+            }
+        )
+    return rows
 
 
 class DedupPipeline:
@@ -93,8 +107,10 @@ class DedupPipeline:
             t0 = time.time()
             df.write.mode("overwrite").parquet(path)
             self.stage_seconds[stage] = time.time() - t0
-            out = self.spark.read.parquet(path)
-            _lineage(out, stage).write.mode("append").parquet(
+            rows = _lineage_rows(path, stage)
+            self.spark.createDataFrame(
+                rows, "stage string, partition_id int, n_rows bigint, file string"
+            ).write.mode("append").parquet(
                 os.path.join(self.workdir, "metrics_lineage")
             )
         return self.spark.read.parquet(path)
@@ -127,7 +143,12 @@ class DedupPipeline:
             keys = band_keys(
                 sigs, bands=cfg.bands, rows_per_band=cfg.rows_per_band
             )
-            pairs_df, bucket_stats = candidate_pairs(keys, bucket_cap=cfg.bucket_cap)
+            n_nonempty = sigs.where(F.col("n_shingles") > 0).count()
+            pairs_df, bucket_stats = candidate_pairs(
+                keys,
+                bucket_cap=cfg.bucket_cap,
+                total_keys=n_nonempty * cfg.bands,
+            )
             pairs = self._materialize("pairs", pairs_df)
             stats = bucket_stats.collect()[0].asDict()
             with open(os.path.join(self.workdir, "bucket_stats.json"), "w") as f:

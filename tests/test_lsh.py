@@ -64,9 +64,12 @@ def test_hot_bucket_capped_but_connected(spark):
 def test_singleton_buckets_dropped(spark):
     texts = {f"u{i}": f"totally unique document number {i} with words w{i}a w{i}b w{i}c w{i}d w{i}e w{i}f" for i in range(20)}
     sigs = _sigs(spark, texts)
-    pairs, stats = candidate_pairs(band_keys(sigs))
+    keys = band_keys(sigs)
+    total = keys.count()
+    pairs, stats = candidate_pairs(keys, total_keys=total)
     st = stats.collect()[0]
     assert st["n_singleton"] > 0
+    assert st["n_buckets"] <= total
 
 
 def test_two_table_linkage(spark):

@@ -1,0 +1,76 @@
+"""Physical-plan regression tests: the optimizations we rely on must be
+visible in .explain output (SURVEY §4 / task brief: pushdown, broadcast,
+codegen, no stray recomputation)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from name_deduplication_python_spark.plans.queries import (
+    q_quality_scores,
+    q_top_customers,
+    q_orders_by_region,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def _formatted(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_parquet_filter_pushdown(spark):
+    df = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .where(F.col("lang") == "en")
+        .select("doc_id", "n_chars")
+    )
+    plan = _formatted(df)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
+    # column pruning: text (the wide column) must NOT be read
+    assert "text" not in plan.split("ReadSchema:")[1].splitlines()[0]
+
+
+def test_column_pruning_quality_scores(spark):
+    plan = _formatted(q_quality_scores(spark, SF))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_broadcast_joins_chosen(spark):
+    assert "BroadcastHashJoin" in _formatted(q_top_customers(spark, SF))
+    plan = _formatted(q_orders_by_region(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2  # nation and region dims
+
+
+def test_whole_stage_codegen_in_verify(spark):
+    """Verification scoring must stay JVM-side (no Python eval nodes)."""
+    from name_deduplication_python_spark.operators.verify import score_pairs
+
+    sigs = spark.createDataFrame(
+        [("a", [1, 2], 3), ("b", [1, 2], 5)],
+        "url string, minhash array<bigint>, simhash bigint",
+    )
+    pairs = spark.createDataFrame([("a", "b")], "src string, dst string")
+    plan = _formatted(score_pairs(pairs, sigs, num_hashes=2))
+    # AQE hides WholeStageCodegen spans until the final plan; the load-
+    # bearing assertion is that NO Python evaluation node appears — the
+    # whole scorer must be JVM expressions.
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF", "mapInPandas"):
+        assert marker not in plan, marker
+
+
+def test_extract_stage_prunes_html_when_text_present(spark):
+    """Extraction reads only needed columns from the source."""
+    from name_deduplication_python_spark.operators.extract import extract_stage
+
+    pages = spark.createDataFrame(
+        [("u", None, None, "t", "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    out = extract_stage(pages)
+    assert set(out.columns) == {"url", "warc_ts", "text", "lang"}
