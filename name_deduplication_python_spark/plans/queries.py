@@ -619,6 +619,64 @@ GROUP BY r_name
 """
 
 # --------------------------------------------------------------------------
+# 17a. customers_no_orders — anti join (P5 already-matched-filter shape,
+#      /root/reference/analysis_engine.py:545) and
+# 17b. parts_multi_supplier — semi join + having.
+# --------------------------------------------------------------------------
+
+def q_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_nationkey")
+    )
+
+
+SQL_CUSTOMERS_NO_ORDERS = """
+SELECT c_custkey, c_name, c_nationkey
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_parts_multi_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    multi = (
+        li.groupBy("l_partkey")
+        .agg(F.countDistinct("l_suppkey").alias("n_suppliers"))
+        .where(F.col("n_suppliers") >= 2)
+    )
+    return (
+        part.join(multi, F.col("p_partkey") == F.col("l_partkey"), "left_semi")
+        .join(
+            li.select("l_partkey", "l_suppkey").distinct(),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy("p_partkey", "p_name")
+        .agg(F.count("*").alias("n_supplier_links"))
+    )
+
+
+SQL_PARTS_MULTI_SUPPLIER = """
+WITH multi AS (
+  SELECT l_partkey FROM lineitem
+  GROUP BY l_partkey HAVING count(DISTINCT l_suppkey) >= 2
+), links AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+)
+SELECT p_partkey, p_name, count(*) AS n_supplier_links
+FROM part
+JOIN links ON p_partkey = l_partkey
+WHERE p_partkey IN (SELECT l_partkey FROM multi)
+  AND EXISTS (SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey)
+GROUP BY p_partkey, p_name
+"""
+
+# --------------------------------------------------------------------------
 # 17. user_sessions — gap-based sessionization over events (lag window +
 #     running sum; the streaming-shaped stateful op in batch form).
 #     Session breaks after a 30-minute silence per user.
@@ -776,6 +834,8 @@ QUERIES = {
     "linkage_pairs": q_linkage_pairs,
     "orders_by_region": q_orders_by_region,
     "user_sessions": q_user_sessions,
+    "customers_no_orders": q_customers_no_orders,
+    "parts_multi_supplier": q_parts_multi_supplier,
     "substring_pairs": q_substring_pairs,
     "ann_lsh_topk": q_ann_lsh_topk,
 }
@@ -798,6 +858,8 @@ ORACLES = {
     "linkage_pairs": SQL_LINKAGE_PAIRS,
     "orders_by_region": SQL_ORDERS_BY_REGION,
     "user_sessions": SQL_USER_SESSIONS,
+    "customers_no_orders": SQL_CUSTOMERS_NO_ORDERS,
+    "parts_multi_supplier": SQL_PARTS_MULTI_SUPPLIER,
     # minhash_lsh_pairs / simhash_near_pairs / substring_pairs /
     # ann_lsh_topk: engine-config or approximate ops, rows-only checks.
 }
