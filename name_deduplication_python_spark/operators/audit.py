@@ -95,10 +95,15 @@ def audit_edges(
     ).mapInPandas(gen, schema=out_schema)
 
     # R4-style rules: estimate drift, exact-status inconsistency, and
-    # pairs kept only by SimHash whose true Jaccard is far below threshold
+    # pairs kept only by SimHash whose true Jaccard is far below threshold.
+    # NOTE "Exact Match" is the signature-resolution tier (all 128
+    # minhashes agree — which a true-J=0.99 pair passes with p=0.28), the
+    # analog of the reference's score>198 tier, NOT byte equality; the
+    # audit flags it only when the true Jaccard shows a real false
+    # positive (< 0.95).
     issue = (
         F.when(
-            (F.col("status") == "Exact Match") & (F.col("exact_jaccard") < 1.0),
+            (F.col("status") == "Exact Match") & (F.col("exact_jaccard") < 0.95),
             F.lit("exact-status-but-texts-differ"),
         )
         .when(

@@ -168,6 +168,24 @@ class DedupPipeline:
                 ),
             )
 
+        if self.cfg.extra.get("substring_pass"):
+            # exact long-repeat pass (north-star suffix-array analog):
+            # separate output table — sharing a boilerplate run does NOT
+            # make two pages near-duplicates, so these pairs are reported
+            # for span-removal jobs rather than merged into clusters
+            if not _done(self._path("substring_pairs")):
+                from .operators.substring import substring_pairs
+
+                self._materialize(
+                    "substring_pairs",
+                    substring_pairs(
+                        extracted,
+                        gram_chars=self.cfg.extra.get("substring_gram", 64),
+                        window=self.cfg.extra.get("substring_window", 32),
+                        bucket_cap=cfg.bucket_cap,
+                    ),
+                )
+
         if _done(self._path("clusters")):
             clusters = self.spark.read.parquet(self._path("clusters"))
         else:
@@ -175,6 +193,23 @@ class DedupPipeline:
                 "clusters",
                 components_with_singletons(
                     edges.select("src", "dst"), extracted, "url"
+                ),
+            )
+
+        if self.cfg.extra.get("audit") and not _done(self._path("audit")):
+            # post-hoc adversarial verification (R1-R5 analog): re-check a
+            # sample of kept edges against exact shingle Jaccard
+            from .operators.audit import audit_edges
+
+            self._materialize(
+                "audit",
+                audit_edges(
+                    edges,
+                    extracted,
+                    shingle_k=cfg.shingle_k,
+                    sample_fraction=self.cfg.extra.get("audit_fraction", 0.1),
+                    jaccard_threshold=cfg.jaccard_threshold,
+                    seed=cfg.seed,
                 ),
             )
         return clusters

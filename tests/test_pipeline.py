@@ -46,6 +46,28 @@ def test_pipeline_end_to_end(spark, workdir):
     assert s["in_dup_clusters"] + s["unique"] == s["total"]
 
 
+def test_pipeline_optional_stages(spark, tmp_path):
+    pages, _ = generate_corpus(n_base=40, seed=12)
+    df = corpus_to_spark(spark, pages)
+    cfg = DedupConfig(
+        extra={"substring_pass": True, "audit": True, "audit_fraction": 1.0}
+    )
+    workdir = str(tmp_path / "opt_run")
+    pipe = DedupPipeline(spark, workdir, cfg)
+    pipe.run(df)
+    import os as _os
+
+    assert _os.path.exists(_os.path.join(workdir, "substring_pairs", "_SUCCESS"))
+    assert _os.path.exists(_os.path.join(workdir, "audit", "_SUCCESS"))
+    # boilerplate family (every 11th base doc) shares >95-char runs
+    subs = spark.read.parquet(_os.path.join(workdir, "substring_pairs"))
+    assert subs.count() > 0
+    # honest edges -> audit is clean (exact dups + tight near-dups)
+    audit = spark.read.parquet(_os.path.join(workdir, "audit"))
+    bad = audit.where("issue = 'exact-status-but-texts-differ'").count()
+    assert bad == 0
+
+
 def test_pipeline_rerun_is_idempotent(spark, workdir):
     _, cl1 = _run(spark, workdir)
     _, cl2 = _run(spark, workdir)  # all stages skipped, read from checkpoint
