@@ -139,11 +139,12 @@ def _shingle_hashes(
         # only when the doc is the array tail; compute exactly instead:
         short_idx = np.flatnonzero(short)
         short_vals = np.zeros(len(short_idx), dtype=np.uint64)
-        for r, d in enumerate(short_idx):  # rare path (docs < k tokens)
-            v = np.uint64(0)
-            for t in token_hashes[starts[d] : starts[d + 1]]:
-                v = v * _POLY_C + t
-            short_vals[r] = v
+        with np.errstate(over="ignore"):  # intended mod-2^64 wraparound
+            for r, d in enumerate(short_idx):  # rare path (docs < k tokens)
+                v = np.uint64(0)
+                for t in token_hashes[starts[d] : starts[d + 1]]:
+                    v = v * _POLY_C + t
+                short_vals[r] = v
         out[dest_short] = short_vals
     else:
         out[:] = acc[valid]

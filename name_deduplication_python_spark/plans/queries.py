@@ -619,6 +619,34 @@ GROUP BY r_name
 """
 
 # --------------------------------------------------------------------------
+# 16b. lang_source_rollup — ROLLUP aggregation over documents (grouping
+#      sets; beyond the reference's flat groupBys, free in both engines).
+# --------------------------------------------------------------------------
+
+def q_lang_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .rollup("lang", "source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .select(
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            "n_docs",
+            "total_chars",
+        )
+    )
+
+
+SQL_LANG_SOURCE_ROLLUP = """
+SELECT coalesce(lang, 'ALL') AS lang,
+       coalesce(source, 'ALL') AS source,
+       count(*) AS n_docs,
+       sum(n_chars) AS total_chars
+FROM documents
+GROUP BY ROLLUP (lang, source)
+"""
+
+# --------------------------------------------------------------------------
 # 17a. customers_no_orders — anti join (P5 already-matched-filter shape,
 #      /root/reference/analysis_engine.py:545) and
 # 17b. parts_multi_supplier — semi join + having.
@@ -834,6 +862,7 @@ QUERIES = {
     "linkage_pairs": q_linkage_pairs,
     "orders_by_region": q_orders_by_region,
     "user_sessions": q_user_sessions,
+    "lang_source_rollup": q_lang_source_rollup,
     "customers_no_orders": q_customers_no_orders,
     "parts_multi_supplier": q_parts_multi_supplier,
     "substring_pairs": q_substring_pairs,
@@ -858,6 +887,7 @@ ORACLES = {
     "linkage_pairs": SQL_LINKAGE_PAIRS,
     "orders_by_region": SQL_ORDERS_BY_REGION,
     "user_sessions": SQL_USER_SESSIONS,
+    "lang_source_rollup": SQL_LANG_SOURCE_ROLLUP,
     "customers_no_orders": SQL_CUSTOMERS_NO_ORDERS,
     "parts_multi_supplier": SQL_PARTS_MULTI_SUPPLIER,
     # minhash_lsh_pairs / simhash_near_pairs / substring_pairs /
