@@ -109,10 +109,14 @@ def connected_components(
     """edges(src, dst) -> (url, cluster_id): every node that appears in an
     edge, labeled with the minimum node id of its component."""
     cur = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    if small_graph_threshold:
+        # count-only probe decides the path; the fast path then consumes
+        # the distinct edges directly (no checkpoint materialization)
+        n = cur.count()
+        if n <= small_graph_threshold:
+            return _cc_single_task(cur)
     cur = cur.localCheckpoint()
     prev_sum = _checksum(cur)
-    if small_graph_threshold and prev_sum[0] <= small_graph_threshold:
-        return _cc_single_task(cur)
     for it in range(max_iterations):
         cur = _small_star(_large_star(cur))
         if checkpoint_every and (it % checkpoint_every == 0):

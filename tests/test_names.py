@@ -232,6 +232,37 @@ def test_seeded_semantics(result):
     assert "r12" not in clusters, "singleton stays unclustered"
 
 
+def test_two_table_linkage_names(spark):
+    """J3 analog: user records linked against a master table via shared
+    blocking keys (/root/reference/analysis_engine.py:439-449)."""
+    from name_deduplication_python_spark.operators.names import (
+        blocking_keys,
+        candidate_pairs_two_tables_names,
+        normalize_records,
+        remap_columns,
+        score_name_pairs,
+    )
+
+    user = spark.createDataFrame(pd.DataFrame(ROWS[:3]))
+    master_rows = [
+        dict(rid="m01", first_name="Jose", last_name="Mercado", middle_name="Santos",
+             birthdate="1990-01-15", city="Boac", sex="M", suffix=""),
+        dict(rid="m02", first_name="Zoila", last_name="Quinto", middle_name="",
+             birthdate="1960-02-02", city="Gasan", sex="F", suffix=""),
+    ]
+    master = spark.createDataFrame(pd.DataFrame(master_rows))
+    fu = normalize_records(remap_columns(user, keep=["rid"]))
+    fm = normalize_records(remap_columns(master, keep=["rid"]))
+    pairs = candidate_pairs_two_tables_names(
+        blocking_keys(fu, "rid"), blocking_keys(fm, "rid")
+    )
+    both = fu.unionByName(fm)
+    edges = score_name_pairs(pairs, both, "rid")
+    got = {(r["src"], r["dst"]) for r in edges.collect()}
+    assert ("r01", "m01") in got and ("r02", "m01") in got
+    assert all(dst != "m02" for _, dst in got)
+
+
 def test_remap_aliases(spark):
     df = spark.createDataFrame(
         pd.DataFrame(
