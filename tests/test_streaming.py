@@ -4,7 +4,6 @@ from __future__ import annotations
 
 import os
 
-import pytest
 
 from name_deduplication_python_spark.sources.corpus import (
     corpus_to_spark,
