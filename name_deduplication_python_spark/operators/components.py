@@ -105,14 +105,23 @@ def connected_components(
     max_iterations: int = 50,
     checkpoint_every: int = 1,
     small_graph_threshold: int = 2_000_000,
+    edge_count_hint: int | None = None,
 ) -> DataFrame:
     """edges(src, dst) -> (url, cluster_id): every node that appears in an
-    edge, labeled with the minimum node id of its component."""
+    edge, labeled with the minimum node id of its component.
+
+    edge_count_hint: an upper bound on |edges| known by the caller (e.g.
+    parquet footer row count) — skips the count-probe job when it already
+    decides the fast path."""
     cur = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
     if small_graph_threshold:
         # count-only probe decides the path; the fast path then consumes
         # the distinct edges directly (no checkpoint materialization)
-        n = cur.count()
+        n = (
+            edge_count_hint
+            if edge_count_hint is not None
+            else cur.count()
+        )
         if n <= small_graph_threshold:
             return _cc_single_task(cur)
     cur = cur.localCheckpoint()
@@ -133,12 +142,15 @@ def connected_components(
 
 
 def components_with_singletons(
-    edges: DataFrame, all_ids: DataFrame, id_col: str = "url"
+    edges: DataFrame,
+    all_ids: DataFrame,
+    id_col: str = "url",
+    edge_count_hint: int | None = None,
 ) -> DataFrame:
     """Assign every id a cluster: edge components get min-id labels,
     untouched ids are their own singleton cluster (reference analog: rows
     never matched stay unique, /root/reference/analysis_engine.py:649-663)."""
-    comp = connected_components(edges)
+    comp = connected_components(edges, edge_count_hint=edge_count_hint)
     ids = all_ids.select(F.col(id_col).alias("url")).distinct()
     return ids.join(comp, "url", "left").select(
         "url", F.coalesce("cluster_id", "url").alias("cluster_id")

@@ -189,10 +189,16 @@ class DedupPipeline:
         if _done(self._path("clusters")):
             clusters = self.spark.read.parquet(self._path("clusters"))
         else:
+            # edge count from the materialized stage's parquet footers —
+            # spares CC its count-probe job
+            n_edges = sum(r["n_rows"] for r in _lineage_rows(self._path("edges"), ""))
             clusters = self._materialize(
                 "clusters",
                 components_with_singletons(
-                    edges.select("src", "dst"), extracted, "url"
+                    edges.select("src", "dst"),
+                    extracted,
+                    "url",
+                    edge_count_hint=n_edges,
                 ),
             )
 

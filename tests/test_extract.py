@@ -43,6 +43,32 @@ def test_entity_ordering():
     assert extract_text_oracle(b"x &lt; y &nbsp;z") == "x < y z"
 
 
+def test_adversarial_html():
+    cases = [
+        # nested/unclosed script: non-greedy block kill, then tag strip
+        (b"<script>a<script>b</script>text<p>x</p>", "text x"),
+        # malformed lone '<' without closing '>': spec treats rest as tag
+        # only up to next '>', a trailing lone '<' survives as text
+        (b"a < b", "a < b"),
+        (b"a <b", "a <b"),
+        # case-insensitive tags, attributes with '>' in quotes are NOT
+        # special-cased (spec: tag ends at first '>')
+        (b'<SCRIPT TYPE="x">junk</SCRIPT>ok', "ok"),
+        # entity torture
+        (b"&amp;amp; &lt;p&gt; &nbsp;&nbsp;", "&amp; <p>"),
+        # invalid utf-8 -> replacement char, deterministic
+        (b"caf\xc3 ok", "caf� ok"),
+        # style with newlines
+        (b"<style>\nbody {}\n</style>done", "done"),
+        (b"", ""),
+    ]
+    for html, want in cases:
+        got = extract_text_oracle(html)
+        assert got == want, (html, got, want)
+        got_vec = extract_series(pd.Series([html], dtype=object))[0]
+        assert got_vec == want, (html, got_vec)
+
+
 def test_extract_stage_byte_identity(spark):
     pages, _ = generate_corpus(n_base=60, seed=7, null_text_frac=1.0)
     df = corpus_to_spark(spark, pages)
