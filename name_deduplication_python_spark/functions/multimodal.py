@@ -80,9 +80,11 @@ def image_features(
                 if strict:
                     img = _decode_image_real(bytes(content))
                 else:
-                    img = _decode_image_fake(
-                        bytes(content), int(w or 16), int(h or 16)
-                    )
+                    # nullable int32 surfaces as float NaN through Arrow;
+                    # NaN is truthy so `w or 16` would int(NaN) and crash
+                    wv = 16 if pd.isna(w) else int(w)
+                    hv = 16 if pd.isna(h) else int(h)
+                    img = _decode_image_fake(bytes(content), max(wv, 1), max(hv, 1))
                 # nearest-neighbor resize (pure numpy, deterministic)
                 ys = (np.arange(th) * img.shape[0] // th).clip(0, img.shape[0] - 1)
                 xs = (np.arange(tw) * img.shape[1] // tw).clip(0, img.shape[1] - 1)
@@ -110,7 +112,7 @@ def frame_sample(
             for mid, content, dur in zip(
                 pdf["media_id"], pdf["content"], pdf["duration_ms"]
             ):
-                if content is None or not dur:
+                if content is None or pd.isna(dur) or not dur:
                     continue
                 if strict:
                     raise NotImplementedError(

@@ -126,19 +126,40 @@ def connected_components(
             return _cc_single_task(cur)
     cur = cur.localCheckpoint()
     prev_sum = _checksum(cur)
+    converged = False
     for it in range(max_iterations):
         cur = _small_star(_large_star(cur))
         if checkpoint_every and (it % checkpoint_every == 0):
             cur = cur.localCheckpoint()
         cur_sum = _checksum(cur)
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # O(log^2 n) convergence means 50 rounds covers any realistic graph;
+        # exiting without a fixed point would let one node carry two labels
+        # and downstream joins would duplicate rows — fail loudly instead.
+        import warnings
 
-    # converged star graph: src -> component min (dst); roots map to self
+        warnings.warn(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations; labels deduped via min-aggregation but the edge "
+            "multiset was still changing",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+
+    # converged star graph: src -> component min (dst); roots map to self.
+    # groupBy-min (not distinct) so a non-converged multi-label node still
+    # yields exactly one row per url.
     members = cur.select(F.col("src").alias("url"), F.col("dst").alias("cluster_id"))
-    roots = cur.select(F.col("dst").alias("url"), F.col("dst").alias("cluster_id")).distinct()
-    return members.union(roots).distinct()
+    roots = cur.select(F.col("dst").alias("url"), F.col("dst").alias("cluster_id"))
+    return (
+        members.union(roots)
+        .groupBy("url")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
 
 
 def components_with_singletons(

@@ -25,16 +25,23 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
 def extract_stage(pages: DataFrame) -> DataFrame:
     """Fill missing ``text`` from ``html`` (byte-deterministic spec).
 
-    Rows that already carry text keep it verbatim; the skipped-UDF branch
-    is a native ``when`` so Catalyst prunes the html column read for
-    partitions where text is fully populated only at runtime (AQE), and
-    the UDF runs on Arrow batches.
+    Split on ``text.isNull()`` and run the UDF ONLY on the null side, then
+    union. A single ``when(isnotnull(text), text).otherwise(udf(html))``
+    projection does NOT skip the UDF: Catalyst extracts Python UDFs into
+    an ArrowEvalPython node that evaluates unconditionally before the CASE
+    (verified in the round-1 physical plan) — on a corpus where most rows
+    already carry text that wastes nearly the whole stage. With the split,
+    the populated side is a pure native projection whose scan prunes the
+    html column entirely (ReadSchema excludes it), and the UDF side's scan
+    pushes ``isnull(text)`` down to parquet.
     """
-    return pages.select(
+    have_text = pages.where(F.col("text").isNotNull()).select(
+        "url", "warc_ts", "text", "lang"
+    )
+    need_text = pages.where(F.col("text").isNull()).select(
         "url",
         "warc_ts",
-        F.when(F.col("text").isNotNull(), F.col("text"))
-        .otherwise(extract_text_udf(F.col("html")))
-        .alias("text"),
+        extract_text_udf(F.col("html")).alias("text"),
         "lang",
     )
+    return have_text.unionByName(need_text)

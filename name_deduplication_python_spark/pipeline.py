@@ -64,9 +64,8 @@ def _lineage_rows(path: str, stage: str) -> list[dict]:
     import pyarrow.parquet as pq
 
     rows = []
-    for i, name in enumerate(sorted(os.listdir(path))):
-        if not name.endswith(".parquet"):
-            continue
+    part_files = sorted(n for n in os.listdir(path) if n.endswith(".parquet"))
+    for i, name in enumerate(part_files):  # ids contiguous from 0 (no _SUCCESS/.crc gaps)
         meta = pq.read_metadata(os.path.join(path, name))
         rows.append(
             {
@@ -95,6 +94,29 @@ class DedupPipeline:
         self.cfg = config or DedupConfig()
         self.stage_seconds: dict[str, float] = {}
         os.makedirs(workdir, exist_ok=True)
+        self._check_config_fingerprint()
+
+    def _check_config_fingerprint(self) -> None:
+        """Stage resume keys on _SUCCESS markers; a different DedupConfig
+        in the same workdir would silently reuse checkpoints computed
+        under the old config — refuse instead (caller picks a new workdir
+        or deletes the stale one)."""
+        from dataclasses import asdict
+
+        fp_path = os.path.join(self.workdir, "config.json")
+        fp = {k: v for k, v in asdict(self.cfg).items() if k != "extra"}
+        if os.path.exists(fp_path):
+            with open(fp_path) as f:
+                existing = json.load(f)
+            if existing != fp:
+                raise ValueError(
+                    f"workdir {self.workdir} holds checkpoints for a "
+                    f"different DedupConfig ({existing} != {fp}); use a new "
+                    "workdir or delete the stale one"
+                )
+        else:
+            with open(fp_path, "w") as f:
+                json.dump(fp, f)
 
     def _path(self, stage: str) -> str:
         return os.path.join(self.workdir, stage)

@@ -84,3 +84,34 @@ def test_extract_stage_preserves_existing_text(spark):
     out = extract_stage(df).toPandas().set_index("url")["text"]
     for _, row in pages.iterrows():
         assert out[row["url"]] == row["text"]
+
+
+def test_extract_udf_only_on_null_text_branch(spark, tmp_path):
+    """The extract UDF must not execute on rows that already carry text
+    (round-1 plan audit: a when/otherwise projection evaluated the
+    ArrowEvalPython node unconditionally). The populated branch must be a
+    pure native projection that never reads the html column."""
+    pages, _ = generate_corpus(n_base=30, seed=11, null_text_frac=0.3)
+    path = str(tmp_path / "pages.parquet")
+    corpus_to_spark(spark, pages).write.parquet(path)
+    plan = extract_stage(spark.read.parquet(path))._jdf.queryExecution().executedPlan().toString()
+    # exactly one Python-UDF eval node, on the isnull(text) side only
+    assert plan.count("ArrowEvalPython") == 1, plan
+    # two scans: the populated side's ReadSchema must exclude html
+    read_schemas = [
+        seg.split("ReadSchema:", 1)[1].splitlines()[0]
+        for seg in plan.split("FileScan parquet")[1:]
+        if "ReadSchema:" in seg
+    ]
+    assert any("html" not in rs for rs in read_schemas), read_schemas
+
+
+def test_extract_udf_absent_when_text_fully_populated(spark, tmp_path):
+    """With text non-null everywhere the UDF side is empty at runtime; the
+    no-null side must not carry the html column through its projection."""
+    pages, _ = generate_corpus(n_base=20, seed=12, null_text_frac=0.0)
+    path = str(tmp_path / "pages2.parquet")
+    corpus_to_spark(spark, pages).write.parquet(path)
+    df = extract_stage(spark.read.parquet(path))
+    assert df.count() == len(pages)
+    assert "html" not in df.columns

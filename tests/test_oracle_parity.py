@@ -61,6 +61,17 @@ def test_query_matches_oracle(spark, ddb, name):
         f"{name}: columns {list(got.columns)} vs {list(want.columns)}"
     )
     assert len(got) == len(want), f"{name}: rows {len(got)} vs {len(want)}"
+    # the driver hashes values AFTER canonicalization — a DuckDB HUGEINT
+    # (sum() over ints) surfacing as float64/object where Spark returns
+    # int64 fails its hash even when values are equal; require matching
+    # dtype kinds so oracle-SQL type drift is caught locally (round-1
+    # lesson: 4 queries were value-identical but hash-mismatched)
+    got_kinds = [df.dtype.kind for _, df in got.items()]
+    want_kinds = [df.dtype.kind for _, df in want.items()]
+    assert got_kinds == want_kinds, (
+        f"{name}: dtype kinds {got_kinds} vs {want_kinds} "
+        f"({dict(got.dtypes)} vs {dict(want.dtypes)})"
+    )
     pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-4)
 
 

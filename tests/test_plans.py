@@ -74,3 +74,56 @@ def test_extract_stage_prunes_html_when_text_present(spark):
     )
     out = extract_stage(pages)
     assert set(out.columns) == {"url", "warc_ts", "text", "lang"}
+
+
+def test_simhash_query_has_no_cartesian(spark):
+    """Round-1 regression: q_simhash_near_pairs was a crossJoin over all
+    documents. The pigeonhole block-banded form must never plan a
+    cartesian/nested-loop product."""
+    from name_deduplication_python_spark.plans.queries import (
+        q_simhash_hamming_pairs_sql,
+        q_simhash_near_pairs,
+    )
+
+    for q in (q_simhash_near_pairs, q_simhash_hamming_pairs_sql):
+        plan = _formatted(q(spark, SF))
+        assert "CartesianProduct" not in plan, q.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, q.__name__
+
+
+def test_simhash_banding_equals_bruteforce(spark):
+    """Pigeonhole block banding is lossless: banded pairs == brute-force
+    all-pairs at the same radius, on the engine's real signatures."""
+    from name_deduplication_python_spark.operators.signatures import signature_stage
+    from name_deduplication_python_spark.operators.simhash import (
+        simhash_hamming_pairs,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .limit(300)
+        .select(F.col("doc_id").cast("string").alias("url"), "text")
+    )
+    sigs = signature_stage(docs).select(
+        F.col("url").cast("bigint").alias("doc_id"), "simhash"
+    ).localCheckpoint()
+    banded = {
+        (r.src, r.dst, r.hamming)
+        for r in simhash_hamming_pairs(sigs, radius=3).collect()
+    }
+    a = sigs.select(F.col("doc_id").alias("src"), F.col("simhash").alias("ha"))
+    b = sigs.select(F.col("doc_id").alias("dst"), F.col("simhash").alias("hb"))
+    brute = {
+        (r.src, r.dst, r.hamming)
+        for r in a.crossJoin(b)
+        .where(F.col("src") < F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert banded == brute
+    assert brute, "fixture must contain at least one near pair"
