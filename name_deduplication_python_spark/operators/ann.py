@@ -78,6 +78,23 @@ def hyperplane_signatures(
     return emb.select(id_col, vec_col).mapInPandas(gen, schema=out_schema)
 
 
+def _vec_dim(emb: DataFrame, vec_col: str, dim: int | None) -> int:
+    """Embedding dimensionality without a driver-side .first() probe job:
+    the testdata parquet stores fixed-size lists whose width is in the
+    schema where available; callers on dynamic schemas pass dim explicitly
+    (round-1 note: a data job just to learn a constant is wasted)."""
+    if dim is not None:
+        return dim
+    import re
+
+    m = re.search(r"\((\d+)\)", emb.schema[vec_col].dataType.simpleString())
+    if m:
+        return int(m.group(1))
+    # variable-size array schema: one-row LIMIT probe (scans a single
+    # parquet page, not the table)
+    return len(emb.select(vec_col).limit(1).collect()[0][0])
+
+
 def ann_lsh_topk(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -87,6 +104,7 @@ def ann_lsh_topk(
     n_tables: int = 8,
     bits_per_table: int = 8,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via hyperplane-LSH buckets.
 
@@ -94,7 +112,7 @@ def ann_lsh_topk(
     within candidates only. query_filter: optional Column limiting the
     query side (default: all rows are queries).
     """
-    dim = len(emb.select(vec_col).first()[0])
+    dim = _vec_dim(emb, vec_col, dim)
     sigs = hyperplane_signatures(
         emb, id_col, vec_col, dim=dim, n_tables=n_tables,
         bits_per_table=bits_per_table, seed=seed,
@@ -133,10 +151,11 @@ def embedding_near_dup_pairs(
     n_tables: int = 8,
     bits_per_table: int = 8,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (dedup-tier op): LSH-bucketed
     candidates, exact cosine verify, canonical (src < dst) edges."""
-    dim = len(emb.select(vec_col).first()[0])
+    dim = _vec_dim(emb, vec_col, dim)
     sigs = hyperplane_signatures(
         emb, id_col, vec_col, dim=dim, n_tables=n_tables,
         bits_per_table=bits_per_table, seed=seed,

@@ -77,12 +77,48 @@ def cluster_report(
         "remark", F.coalesce("remark", F.lit("Exact Match"))
     )
 
-    # A4 + A9: order clusters by (class, remark, min member), dense 1..N
-    w = Window.orderBy(
-        cat_rank, remark_rank, F.col("min_member"), F.col("cluster_id")
+    # A4 + A9: order clusters by (class, remark, min member), dense 1..N.
+    # dense_rank over an UNPARTITIONED window funnels the whole member
+    # table through one task (round-1 scale flag); instead rank the
+    # cluster-level keys (one row per cluster) with a two-pass scheme —
+    # range-partition on the sort key, local row_number, then add
+    # per-partition offsets (a driver-side scalar list) — and join the
+    # group ids back to members. Same output as the old dense_rank.
+    keys = (
+        labeled.select(
+            "cluster_id",
+            cat_rank.alias("cr"),
+            remark_rank.alias("rr"),
+            "min_member",
+        )
+        .distinct()
+        .repartitionByRange(
+            F.col("cr"), F.col("rr"), F.col("min_member"), F.col("cluster_id")
+        )
+        .withColumn("pid", F.spark_partition_id())
+    )
+    w_local = Window.partitionBy("pid").orderBy(
+        "cr", "rr", F.col("min_member"), F.col("cluster_id")
+    )
+    local = keys.withColumn("lrn", F.row_number().over(w_local)).localCheckpoint()
+    # per-partition counts: one tiny row per partition (range partitions
+    # are ordered by partition id, so cumulative counts are the offsets)
+    counts = {
+        r["pid"]: r["n"]
+        for r in local.groupBy("pid").agg(F.count("*").alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_map = F.create_map(
+        *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+    )
+    group_ids = local.select(
+        "cluster_id", (off_map[F.col("pid")] + F.col("lrn")).alias("group_id")
     )
     return (
-        labeled.withColumn("group_id", F.dense_rank().over(w))
+        labeled.join(group_ids, "cluster_id")
         .select(
             "group_id",
             "url",

@@ -19,6 +19,7 @@ from .. import DEFAULT_CONFIG
 from ..operators.components import connected_components
 from ..operators.lsh import band_keys, candidate_pairs
 from ..operators.signatures import signature_stage
+from ..operators.setsim import set_similarity_join
 from ..operators.simhash import simhash_hamming_pairs
 from ..operators.verify import verify_stage
 
@@ -82,33 +83,12 @@ def _token_sets(docs: DataFrame) -> DataFrame:
 
 
 def q_token_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    toks = _token_sets(docs)
-    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = toks.select(F.col("doc_id").alias("src"), "tok")
-    b = toks.select(F.col("doc_id").alias("dst"), "tok")
-    inter = (
-        a.join(b, "tok")
-        .where(F.col("src") < F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count("*").alias("inter"))
+    # prefix-filtered exact join (lossless at theta; round-1's full
+    # inverted-index join was quadratic in hot-token bucket size)
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.array_distinct(F.expr(_TOK)).alias("toks")
     )
-    sa = sizes.select(F.col("doc_id").alias("src"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("dst"), F.col("sz").alias("sz_b"))
-    return (
-        inter.join(sa, "src")
-        .join(sb, "dst")
-        .select(
-            "src",
-            "dst",
-            F.round(
-                F.col("inter")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
-                6,
-            ).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= _JACCARD_THETA)
-    )
+    return set_similarity_join(docs, theta=_JACCARD_THETA, id_col="doc_id")
 
 
 SQL_TOKEN_JACCARD_PAIRS = f"""
@@ -542,27 +522,16 @@ WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {_SIM_THETA}
 # --------------------------------------------------------------------------
 
 def q_linkage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    toks = _token_sets(docs).join(
-        docs.select("doc_id", (F.length("source") <= 4).alias("is_new")), "doc_id"
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.array_distinct(F.expr(_TOK)).alias("toks"),
+        (F.length("source") <= 4).alias("is_new"),
     )
-    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = toks.where(F.col("is_new")).select(F.col("doc_id").alias("src"), "tok")
-    b = toks.where(~F.col("is_new")).select(F.col("doc_id").alias("dst"), "tok")
-    inter = a.join(b, "tok").groupBy("src", "dst").agg(F.count("*").alias("inter"))
-    sa = sizes.select(F.col("doc_id").alias("src"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("dst"), F.col("sz").alias("sz_b"))
-    return (
-        inter.join(sa, "src")
-        .join(sb, "dst")
-        .select(
-            "src",
-            "dst",
-            F.round(
-                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
-            ).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= 0.5)
+    return set_similarity_join(
+        docs.where(F.col("is_new")),
+        theta=0.5,
+        docs_b=docs.where(~F.col("is_new")),
+        id_col="doc_id",
     )
 
 

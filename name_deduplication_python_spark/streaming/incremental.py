@@ -39,10 +39,11 @@ class IncrementalDedup:
         self.store = store_dir
         self.cfg = dict(DEFAULT_CONFIG, **(config or {}))
         os.makedirs(os.path.join(store_dir, "signatures"), exist_ok=True)
+        os.makedirs(os.path.join(store_dir, "band_keys"), exist_ok=True)
         os.makedirs(os.path.join(store_dir, "edges"), exist_ok=True)
 
-    def _sig_store(self) -> DataFrame | None:
-        path = os.path.join(self.store, "signatures")
+    def _read_store(self, sub: str) -> DataFrame | None:
+        path = os.path.join(self.store, sub)
         try:
             df = self.spark.read.parquet(path)
             return df if len(df.columns) else None
@@ -50,7 +51,16 @@ class IncrementalDedup:
             return None
 
     def process_batch(self, pages: DataFrame, epoch_id: int) -> None:
-        """foreachBatch body — also callable directly for unit tests."""
+        """foreachBatch body — also callable directly for unit tests.
+
+        Band keys are PERSISTED per epoch (store/band_keys/epoch=N) and
+        the new batch's keys join directly against the stored key table.
+        Round-1 recomputed band_keys over the ENTIRE accumulated signature
+        store every micro-batch — a 25x explode + window shuffle of the
+        whole corpus per epoch. Now historical epochs are written once and
+        only scanned (columnar, 3 narrow columns); per-epoch compute is
+        O(batch + matched buckets).
+        """
         c = self.cfg
         sig_epoch = os.path.join(self.store, "signatures", f"epoch={epoch_id}")
         if os.path.exists(os.path.join(sig_epoch, "_SUCCESS")):
@@ -62,22 +72,19 @@ class IncrementalDedup:
             shingle_k=c["shingle_k"],
             seed=c["seed"],
         ).localCheckpoint()
+        # reused three ways (self-join, store cross-join, persistence)
         new_keys = band_keys(
             new_sigs, bands=c["bands"], rows_per_band=c["rows_per_band"]
-        )
+        ).localCheckpoint()
 
         # new-vs-new self-join
         pairs, _ = candidate_pairs(new_keys, bucket_cap=c["bucket_cap"])
         all_sigs = new_sigs
-        old_sigs = self._sig_store()
-        if old_sigs is not None:
-            old_keys = band_keys(
-                old_sigs.drop("epoch"),
-                bands=c["bands"],
-                rows_per_band=c["rows_per_band"],
-            )
+        old_keys = self._read_store("band_keys")
+        if old_keys is not None:
             cross = candidate_pairs_two_table(new_keys, old_keys)
             pairs = pairs.unionByName(cross).distinct()
+            old_sigs = self._read_store("signatures")
             all_sigs = new_sigs.unionByName(old_sigs.drop("epoch"))
 
         edges = verify_stage(
@@ -90,6 +97,12 @@ class IncrementalDedup:
         edges.write.mode("overwrite").parquet(
             os.path.join(self.store, "edges", f"epoch={epoch_id}")
         )
+        new_keys.write.mode("overwrite").parquet(
+            os.path.join(self.store, "band_keys", f"epoch={epoch_id}")
+        )
+        # signatures written LAST: their _SUCCESS is the epoch's idempotence
+        # marker, so a crash mid-epoch replays the whole epoch (overwrite
+        # mode makes the replay exact)
         new_sigs.write.mode("overwrite").parquet(sig_epoch)
 
     def start(self, source_dir: str, checkpoint_dir: str, available_now: bool = True):

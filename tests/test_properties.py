@@ -117,3 +117,83 @@ def test_minhash_estimate_within_bound(tokens, n_sub):
     true = len(s1 & s2) / len(s1 | s2)
     # 128 hashes: sampling std <= 0.5/sqrt(128) ~ 0.045; allow 5 sigma
     assert abs(est - true) <= 0.23, (est, true)
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filter losslessness: the AllPairs prefix join must return EXACTLY
+# the naive all-pairs Jaccard result, including rounding-boundary pairs and
+# hot tokens shared by every doc.
+# ---------------------------------------------------------------------------
+
+def _naive_jaccard_pairs(doc_toks: dict, theta: float):
+    out = set()
+    ids = sorted(doc_toks)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = set(doc_toks[a]), set(doc_toks[b])
+            u = len(sa | sb)
+            if u == 0:
+                continue
+            j = round(len(sa & sb) / u, 6)
+            if j >= theta:
+                out.add((a, b, j))
+    return out
+
+
+def test_prefix_filter_join_lossless(spark):
+    from pyspark.sql import functions as F
+
+    from name_deduplication_python_spark.operators.setsim import (
+        set_similarity_join,
+    )
+
+    rng = np.random.default_rng(7)
+    vocab = [f"t{i}" for i in range(40)]
+    doc_toks = {}
+    for d in range(120):
+        n = int(rng.integers(2, 14))
+        toks = list(rng.choice(vocab, size=n, replace=False))
+        toks.append("hot")  # a token shared by EVERY doc (worst-case skew)
+        doc_toks[d] = toks
+    # planted rounding-boundary pair: |A|=|B|=4, inter=2 -> J = 2/6 = 0.333333
+    doc_toks[200] = ["x1", "x2", "x3", "x4"]
+    doc_toks[201] = ["x1", "x2", "y3", "y4"]
+
+    rows = [(d, sorted(set(t))) for d, t in doc_toks.items()]
+    docs = spark.createDataFrame(rows, "doc_id bigint, toks array<string>")
+    for theta in (1 / 3, 0.5, 0.8):
+        got = {
+            (r.src, r.dst, r.jaccard)
+            for r in set_similarity_join(docs, theta=theta).collect()
+        }
+        want = _naive_jaccard_pairs(doc_toks, theta)
+        assert got == want, (theta, got ^ want)
+
+
+def test_prefix_filter_two_table_lossless(spark):
+    from name_deduplication_python_spark.operators.setsim import (
+        set_similarity_join,
+    )
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(30)]
+    a_toks = {i: list(rng.choice(vocab, size=int(rng.integers(2, 10)), replace=False)) for i in range(40)}
+    b_toks = {1000 + i: list(rng.choice(vocab, size=int(rng.integers(2, 10)), replace=False)) for i in range(40)}
+    da = spark.createDataFrame(
+        [(d, sorted(set(t))) for d, t in a_toks.items()], "doc_id bigint, toks array<string>"
+    )
+    db = spark.createDataFrame(
+        [(d, sorted(set(t))) for d, t in b_toks.items()], "doc_id bigint, toks array<string>"
+    )
+    got = {
+        (r.src, r.dst, r.jaccard)
+        for r in set_similarity_join(da, theta=0.5, docs_b=db).collect()
+    }
+    want = set()
+    for s, st_ in a_toks.items():
+        for d, dt in b_toks.items():
+            sa, sb = set(st_), set(dt)
+            j = round(len(sa & sb) / len(sa | sb), 6)
+            if j >= 0.5:
+                want.add((s, d, j))
+    assert got == want

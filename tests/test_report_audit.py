@@ -61,6 +61,52 @@ def test_cluster_report_semantics(spark):
     assert s["linked_rows"] == 2 and s["dup_rows"] == 5 and s["unique_rows"] == 1
 
 
+def test_cluster_report_no_single_partition_window(spark):
+    """A9 renumbering must not funnel the member table through one task
+    (round-1 flag: unpartitioned Window.orderBy = Exchange SinglePartition
+    on the full table). The two-pass offset scheme keeps every exchange
+    hash- or range-partitioned."""
+    clusters, edges = _fixture(spark)
+    rep = cluster_report(clusters, edges, corpus_of=lambda u: F.substring(u, 1, 1))
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+
+
+def test_cluster_report_group_ids_match_dense_rank_oracle(spark):
+    """Two-pass renumbering output == the reference dense_rank semantics
+    on a larger random fixture (many clusters across partitions)."""
+    import random
+
+    rng = random.Random(5)
+    rows, edge_rows = [], []
+    for c in range(200):
+        size = rng.randint(1, 4)
+        members = [f"u{c:03d}_{m}" for m in range(size)]
+        rows += [(m, members[0]) for m in members]
+        edge_rows += [
+            (members[0], m, rng.choice(["Exact Match", "Fuzzy Match"]))
+            for m in members[1:]
+        ]
+    clusters = spark.createDataFrame(rows, "url string, cluster_id string")
+    edges = spark.createDataFrame(edge_rows, "src string, dst string, status string")
+    rep = cluster_report(clusters, edges).toPandas()
+    # oracle: sort distinct cluster keys, assign 1..N
+    keys = (
+        rep.groupby("cluster_id")
+        .agg(
+            cr=("category", lambda s: {"Linked Records": 0, "Duplicate": 1, "Unique": 2}[s.iloc[0]]),
+            rr=("remark", lambda s: 0 if s.iloc[0] == "Exact Match" else 1),
+            mm=("url", "min"),
+        )
+        .reset_index()
+        .sort_values(["cr", "rr", "mm", "cluster_id"])
+        .reset_index(drop=True)
+    )
+    keys["want_gid"] = keys.index + 1
+    merged = rep.merge(keys[["cluster_id", "want_gid"]], on="cluster_id")
+    assert (merged["group_id"] == merged["want_gid"]).all()
+
+
 def test_top_k_by(spark):
     df = spark.createDataFrame(
         [("en",)] * 5 + [("de",)] * 3 + [("fr",)] * 3 + [("es",)],

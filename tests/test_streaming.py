@@ -40,6 +40,79 @@ def test_incremental_batches_find_cross_batch_dups(spark, tmp_path):
         assert (a, b) in got, f"cross-batch exact dup {a},{b} missed"
 
 
+def test_band_key_store_is_append_only(spark, tmp_path):
+    """Per-epoch work must not grow with history: band keys are persisted
+    per epoch and PRIOR epochs are never recomputed or rewritten (round-1
+    re-keyed the entire signature store every micro-batch). Evidence:
+    each epoch dir holds exactly that batch's keys, and epoch-0 files are
+    byte-stable (same mtimes) after two more epochs."""
+    from name_deduplication_python_spark import DEFAULT_CONFIG
+
+    pages, _ = generate_corpus(n_base=60, seed=31)
+    df = corpus_to_spark(spark, pages).cache()
+    urls = sorted(pages["url"])
+    thirds = [set(urls[i::3]) for i in range(3)]
+    store = str(tmp_path / "store")
+    inc = IncrementalDedup(spark, store)
+
+    inc.process_batch(df.where(df.url.isin(list(thirds[0]))), 0)
+    bk0 = os.path.join(store, "band_keys", "epoch=0")
+    mtimes0 = {f: os.path.getmtime(os.path.join(bk0, f)) for f in os.listdir(bk0)}
+
+    inc.process_batch(df.where(df.url.isin(list(thirds[1]))), 1)
+    inc.process_batch(df.where(df.url.isin(list(thirds[2]))), 2)
+
+    # epoch-0 key files untouched by later epochs
+    assert mtimes0 == {
+        f: os.path.getmtime(os.path.join(bk0, f)) for f in os.listdir(bk0)
+    }
+    # each epoch dir holds exactly its batch's keys: nonempty docs x bands
+    for e in range(3):
+        keys = spark.read.parquet(os.path.join(store, "band_keys", f"epoch={e}"))
+        sigs = spark.read.parquet(os.path.join(store, "signatures", f"epoch={e}"))
+        n_nonempty = sigs.where("n_shingles > 0").count()
+        assert keys.count() == n_nonempty * DEFAULT_CONFIG["bands"], e
+
+
+def test_incremental_equals_full_batch_edges(spark, tmp_path):
+    """Union of per-epoch edge sets == the single-batch pipeline's edges
+    on the same corpus (incremental correctness, order-insensitive)."""
+    from name_deduplication_python_spark import DEFAULT_CONFIG as C
+    from name_deduplication_python_spark.operators.extract import extract_stage
+    from name_deduplication_python_spark.operators.lsh import band_keys, candidate_pairs
+    from name_deduplication_python_spark.operators.signatures import signature_stage
+    from name_deduplication_python_spark.operators.verify import verify_stage
+
+    pages, _ = generate_corpus(n_base=50, seed=33)
+    df = corpus_to_spark(spark, pages).cache()
+    urls = sorted(pages["url"])
+    half = set(urls[: len(urls) // 2])
+    inc = IncrementalDedup(spark, str(tmp_path / "store"))
+    inc.process_batch(df.where(df.url.isin(list(half))), 0)
+    inc.process_batch(df.where(~df.url.isin(list(half))), 1)
+    got = {
+        tuple(sorted((r.src, r.dst)))
+        for r in inc.edges().select("src", "dst").collect()
+    }
+
+    sigs = signature_stage(
+        extract_stage(df), num_hashes=C["num_hashes"], shingle_k=C["shingle_k"],
+        seed=C["seed"],
+    )
+    keys = band_keys(sigs, bands=C["bands"], rows_per_band=C["rows_per_band"])
+    pairs, _ = candidate_pairs(keys, bucket_cap=C["bucket_cap"])
+    edges = verify_stage(
+        pairs, sigs, num_hashes=C["num_hashes"],
+        jaccard_threshold=C["jaccard_threshold"],
+        simhash_radius=C["simhash_radius"],
+    )
+    want = {
+        tuple(sorted((r.src, r.dst)))
+        for r in edges.select("src", "dst").collect()
+    }
+    assert got == want
+
+
 def test_epoch_replay_is_idempotent(spark, tmp_path):
     pages, _ = generate_corpus(n_base=30, seed=22)
     df = corpus_to_spark(spark, pages)
