@@ -49,17 +49,29 @@ _PART_RULES = [  # N2: (suffix-of-name, nickname)
     ("renzo", "renzo"),
     ("nald", "nald"),
     ("lito", "lito"),
-    ("lyn", "lyn"),
-    ("lynn", "lyn"),
     ("mel", "mel"),
+    ("chard", "chard"),  # Richard -> Chard
 ]
+
+# N2 core/prefix families (/root/reference/nickname_generator.py:203-231):
+# names STARTING with these yield the core as a nickname
+_PREFIX_CORES = ["leo", "vic", "rom", "mar", "noel", "cel", "eli", "sha"]
+# names CONTAINING these yield the core
+_INFIX_CORES = ["ric", "greg", "ben"]
 
 _PHONETIC = [("ch", "k"), ("th", "t"), ("ph", "p"), ("jh", "j")]
 
 
 def generate_nicknames_py(name: str) -> list[str]:
     """N5 pipeline for one formal name (pure python; used inside the
-    Arrow-batched UDF and directly by tests as its own oracle spec)."""
+    Arrow-batched UDF and directly by tests as its own oracle spec).
+
+    Mirrors /root/reference/nickname_generator.py:267-370 semantics:
+      multi-word -> whole tokens, Ma.->Maria, and 'X Ann/Anne/An' -> 'Xn'
+      single-word -> curated + 3-letter prefix + suffix/core parts +
+                     -lyn/-lynn split + maria*-split + phonetic variant
+      filter: alphabetic, >= 2 chars, != the base name
+    """
     base = " ".join(name.strip().lower().split())
     if not base:
         return []
@@ -68,9 +80,11 @@ def generate_nicknames_py(name: str) -> list[str]:
     out: set[str] = set()
     tokens = base.split(" ")
     if len(tokens) > 1:
-        # multi-word: whole tokens only
+        # multi-word: whole tokens only, plus the Ann-contraction
         for t in tokens:
             out.add(t)
+        if tokens[1] in ("ann", "anne", "an"):
+            out.add(tokens[0] + "n")  # Lovely Ann -> Lovelyn
     else:
         w = tokens[0]
         out.update(CURATED.get(w, []))
@@ -78,19 +92,40 @@ def generate_nicknames_py(name: str) -> list[str]:
         pref = 2 if w[:2] in _TWO_LETTER_PREFIX else 3
         if len(w) > pref:
             out.add(w[:pref])
-        # N2 parts
+        # N2 suffix parts
         for suf, nick in _PART_RULES:
             if w.endswith(suf) and len(w) > len(suf):
                 out.add(nick)
+        # N2: -lyn/-lynn -> 'lyn' plus the stem when long enough
+        if w.endswith("lyn") or w.endswith("lynn"):
+            out.add("lyn")
+            stem = w[:-3] if w.endswith("lyn") else w[:-4]
+            if len(stem) >= 4:
+                out.add(stem)
+        # N2 core/prefix families
+        for core in _PREFIX_CORES:
+            if w.startswith(core) and w != core:
+                out.add(core)
+        for core in _INFIX_CORES:
+            if core in w and w != core:
+                out.add(core)
+        if w.startswith("rowena"):
+            out.add("wena")
+        # N5: maria-prefixed single word splits (Mariafe -> maria, fe)
+        if w.startswith("maria") and len(w) > 5:
+            out.add("maria")
+            rem = w[5:]
+            if len(rem) >= 2:
+                out.add(rem)
         # N4 phonetic
         v = w
         for a, b in _PHONETIC:
             v = v.replace(a, b)
         if v != w:
             out.add(v)
-    # filter: >= 2 alpha chars, != base
+    # filter: alphabetic, >= 2 chars, != base
     return sorted(
-        n for n in out if n != base and sum(c.isalpha() for c in n) >= 2
+        n for n in out if n != base and len(n) >= 2 and n.isalpha()
     )
 
 

@@ -122,3 +122,99 @@ def audit_edges(
         .where(F.col("issue").isNotNull())
         .select("src", "dst", "status", "est_jaccard", "exact_jaccard", "issue")
     )
+
+
+# ---- R1/R3: names-domain pair audit ----------------------------------------
+
+# independent similarity floors (/root/reference/auditor.py:109-112)
+AUDIT_FIRST_MIN = 60
+AUDIT_LAST_MIN = 85
+AUDIT_FULL_MIN = 75   # name-only safety gate
+AUDIT_WRATIO_LOW = 90  # fuzzy remark floor
+AUDIT_WRATIO_EXACT = 98
+
+
+def audit_name_pairs(
+    edges: DataFrame, feats: DataFrame, id_col: str = "rid"
+) -> DataFrame:
+    """Adversarial re-verification of emitted name-match edges with
+    INDEPENDENT rules (no score reuse), mirroring the reference auditor's
+    _flag_pair (/root/reference/auditor.py:229-277):
+
+      R1 field incompatibilities: birthdate / sex / suffix mismatch
+      R1 similarity floors: first<60 (non-equal), last<85 (non-equal),
+         middle-initial mismatch
+      R3 name-only heightened guard (no birthdate AND no sex on the pair):
+         city conflict, full-name ratio < 75
+      R4 remark consistency: 'Exact Match' with wratio < 98;
+         'Fuzzy Match' with wratio < 90
+
+    Input: edges(src, dst, status[, score]) + the normalized feature table
+    (normalize_records output). Output: one row per (pair, issue); empty
+    result = audit clean.
+    """
+    from .names import _full_name, _ratio, _wratio
+
+    f = feats.select(
+        F.col(id_col), "_fn", "_mn", "_ln", "_sfx", "_bd", "_sex", "_city"
+    )
+    a = f.select(
+        F.col(id_col).alias("src"),
+        *[F.col(c).alias(c + "_a") for c in f.columns if c != id_col],
+    )
+    b = f.select(
+        F.col(id_col).alias("dst"),
+        *[F.col(c).alias(c + "_b") for c in f.columns if c != id_col],
+    )
+    j = edges.select("src", "dst", "status").join(a, "src").join(b, "dst")
+
+    both = lambda c: (F.col(c + "_a") != "") & (F.col(c + "_b") != "")  # noqa: E731
+    differ = lambda c: F.col(c + "_a") != F.col(c + "_b")  # noqa: E731
+    fn_r = _ratio(F.col("_fn_a"), F.col("_fn_b"))
+    ln_r = _ratio(F.col("_ln_a"), F.col("_ln_b"))
+    full_a = _full_name(F.col("_fn_a"), F.col("_mn_a"), F.col("_ln_a"))
+    full_b = _full_name(F.col("_fn_b"), F.col("_mn_b"), F.col("_ln_b"))
+    full_r = _ratio(full_a, full_b)
+    wr = _wratio(full_a, full_b)
+    name_only = ~(both("_bd")) & ~(both("_sex"))
+
+    issues = F.array(
+        F.when(both("_bd") & differ("_bd"), F.lit("birthdate-mismatch")),
+        F.when(both("_sex") & differ("_sex"), F.lit("sex-mismatch")),
+        F.when(both("_sfx") & differ("_sfx"), F.lit("suffix-mismatch")),
+        F.when(
+            (fn_r < AUDIT_FIRST_MIN) & differ("_fn"), F.lit("first-name-low-sim")
+        ),
+        F.when(
+            (ln_r < AUDIT_LAST_MIN) & differ("_ln"), F.lit("last-name-low-sim")
+        ),
+        F.when(
+            both("_mn")
+            & (F.substring("_mn_a", 1, 1) != F.substring("_mn_b", 1, 1)),
+            F.lit("middle-initial-mismatch"),
+        ),
+        F.when(
+            name_only & both("_city") & differ("_city"),
+            F.lit("city-differs-name-only"),
+        ),
+        F.when(
+            name_only & (full_r < AUDIT_FULL_MIN),
+            F.lit("full-name-low-sim-name-only"),
+        ),
+        F.when(
+            F.col("status").contains("Exact") & (wr < AUDIT_WRATIO_EXACT),
+            F.lit("exact-remark-low-wratio"),
+        ),
+        F.when(
+            F.col("status").contains("Fuzzy") & (wr < AUDIT_WRATIO_LOW),
+            F.lit("fuzzy-remark-low-wratio"),
+        ),
+    )
+    return (
+        j.select(
+            "src",
+            "dst",
+            "status",
+            F.explode(F.filter(issues, lambda x: x.isNotNull())).alias("issue"),
+        )
+    )

@@ -154,6 +154,91 @@ _SUFFIX_MAP = {
 
 _DATE_FORMATS = ["yyyy-MM-dd", "MM/dd/yyyy", "dd/MM/yyyy", "yyyy/MM/dd", "MMM d, yyyy", "MMMM d, yyyy"]
 
+# ---- C6: city canonicalization (full reference semantics,
+#      /root/reference/data_utils.py:108-273) ---------------------------------
+
+# word-level abbreviation expansion (the reference's `abbreviations` dict)
+_CITY_ABBREV = {
+    "st": "saint",
+    "sto": "santo",
+    "sta": "santa",
+    "mt": "mount",
+    "n": "north",
+    "e": "east",
+    "s": "south",
+    "w": "west",
+}
+
+# special-case canonical map: joined-word / province-suffixed variants of
+# common Filipino city names -> canonical form. Re-curated compact set
+# (same rule FAMILIES as the reference's ~90-entry table, not a copy):
+# each entry demonstrates one variant family the scorer's -30 city-conflict
+# term depends on.
+_CITY_SPECIAL = {
+    "sanjose": "san jose",
+    "san jose romblon": "san jose",
+    "sanjuan": "san juan",
+    "sanantonio": "san antonio",
+    "sanmiguel": "san miguel",
+    "sanpedro": "san pedro",
+    "sanpablo": "san pablo",
+    "sancarlos": "san carlos",
+    "sanrafael": "san rafael",
+    "sanluis": "san luis",
+    "sanagustin": "san agustin",
+    "sanandres": "san andres",
+    "sanfernando": "san fernando",
+    "sanvicente": "san vicente",
+    "santacruz": "santa cruz",
+    "santa cruz marinduque": "santa cruz",
+    "santafe": "santa fe",
+    "santamaria": "santa maria",
+    "santotomas": "santo tomas",
+    "calapancity": "calapan",
+    "calapan city": "calapan",
+    "puerto princesa city": "puerto princesa",
+    "elnido": "el nido",
+    "brookespoint": "brookes point",
+    "looc romblon": "looc",
+    "magsaysay palawan": "magsaysay",
+    "quezon palawan": "quezon",
+    "rizal palawan": "rizal",
+    "roxas palawan": "roxas",
+}
+
+
+def normalize_city_expr(col) -> "F.Column":
+    """Native city canonicalizer mirroring the reference's normalize_city
+    (/root/reference/data_utils.py:108-273), lowercase canon (the engine
+    keeps everything lowercase; the reference Title-cases for display then
+    lowercases again before comparing):
+      1 drop descriptor words (city/municipality/municipal/town/mun/
+        barangay/brgy/bgy/lgu)
+      2 collapse separators
+      3 word-wise abbreviation expansion (st->saint, sto->santo, ...)
+      4 strip leading 'of ' (left by 'City of X')
+      5 drop parenthetical descriptors
+      6 special-case canonical map
+    """
+    c = F.lower(F.trim(col))
+    c = F.regexp_replace(
+        c, r"\b(city|municipality|municipal|town|mun\.?|barangay|brgy|bgy|lgu)\b", ""
+    )
+    c = F.trim(F.regexp_replace(c, r"[,\-_.\s]+", " "))
+    abbrev_map = F.create_map(
+        *[F.lit(x) for kv in _CITY_ABBREV.items() for x in kv]
+    )
+    c = F.array_join(
+        F.transform(F.split(c, " "), lambda w: F.coalesce(abbrev_map[w], w)), " "
+    )
+    c = F.regexp_replace(c, r"^of\s+", "")
+    c = F.regexp_replace(c, r"\s*\([^)]*\)\s*", " ")
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    special_map = F.create_map(
+        *[F.lit(x) for kv in _CITY_SPECIAL.items() for x in kv]
+    )
+    return F.coalesce(special_map[c], c)
+
 
 def normalize_records(df: DataFrame) -> DataFrame:
     """Apply the reference's per-row canonicalization once (the
@@ -182,14 +267,8 @@ def normalize_records(df: DataFrame) -> DataFrame:
         .when(clean("sex").startswith("f"), "female")
         .otherwise("")
     )
-    # C6 (lite): drop city/municipality/of tokens, collapse
-    city = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(clean("city"), r"\b(city|municipality|mun|of)\b", " "),
-            r"[\s,./-]+",
-            " ",
-        )
-    )
+    # C6: full city canonicalization (abbrev expansion + special cases)
+    city = normalize_city_expr(F.col("city"))
     return df.select(
         "*",
         fname.alias("_fn"),
@@ -197,6 +276,10 @@ def normalize_records(df: DataFrame) -> DataFrame:
         lname.alias("_ln"),
         suffix.alias("_sfx"),
         bdate.alias("_bd"),
+        # raw (pre-parse) birthdate presence drives the F2 adaptive gate:
+        # an unparseable-but-present birthdate keeps the base algorithm
+        # (/root/reference/analysis_engine.py:149-156 has_birthdate_raw)
+        F.trim(F.col("birthdate")).alias("_bd_raw"),
         sex.alias("_sex"),
         city.alias("_city"),
     )
@@ -232,29 +315,54 @@ def nickname_canonical(
 # ---- J1/J2/J3: blocking keys + candidate joins ------------------------------
 
 def blocking_keys(df: DataFrame, id_col: str, canon: DataFrame | None = None) -> DataFrame:
-    """Per record emit blocking keys (J1): FL_first_last, SDX_soundex
-    pair, LNBD_last_birthdate — plus FL keys for nickname-canonical first
-    names when a canon map is given."""
-    base = df.select(
-        F.col(id_col).alias("rid"), "_fn", "_ln", "_bd"
+    """Per record emit blocking keys (J1, mirroring
+    /root/reference/analysis_engine.py:418-428):
+      FL_first_last        when both present (space-stripped)
+      SDX_sdx(first)_sdx(last)  when both present
+      LNBD_last_birthdate  when both present
+      SSDX_sorted soundexes of the non-empty name parts (catches swapped
+                           first/last) when >= 2 parts
+      FLC_canonical_last   nickname-canonical first (J4, broadcast join)
+    Null keys are filtered post-explode (conditional emission)."""
+    base = df.select(F.col(id_col).alias("rid"), "_fn", "_mn", "_ln", "_bd")
+    has_fl = (F.col("_fn") != "") & (F.col("_ln") != "")
+    fl_key = F.concat_ws(
+        "_",
+        F.lit("FL"),
+        F.regexp_replace("_fn", " ", ""),
+        F.regexp_replace("_ln", " ", ""),
+    )
+    parts = F.filter(F.array("_fn", "_mn", "_ln"), lambda p: p != "")
+    ssdx = F.concat_ws(
+        "_",
+        F.lit("SSDX"),
+        F.array_join(F.array_sort(F.transform(parts, F.soundex)), "_"),
     )
     keys = base.select(
         "rid",
         F.explode(
             F.array(
-                F.concat_ws("_", F.lit("FL"), "_fn", "_ln"),
-                F.concat_ws("_", F.lit("SDX"), F.soundex("_fn"), F.soundex("_ln")),
+                F.when(has_fl, fl_key),
                 F.when(
-                    F.col("_bd") != "", F.concat_ws("_", F.lit("LNBD"), "_ln", "_bd")
-                ).otherwise(F.concat_ws("_", F.lit("FL"), "_fn", "_ln")),
+                    has_fl,
+                    F.concat_ws(
+                        "_", F.lit("SDX"), F.soundex("_fn"), F.soundex("_ln")
+                    ),
+                ),
+                F.when(
+                    (F.col("_ln") != "") & (F.col("_bd") != ""),
+                    F.concat_ws("_", F.lit("LNBD"), "_ln", "_bd"),
+                ),
+                F.when(F.size(parts) > 1, ssdx),
             )
         ).alias("key"),
-    )
+    ).where(F.col("key").isNotNull())
     if canon is not None:
         # every record keys on its nickname-canonical first name (identity
         # for names outside the equivalence map) — J4 as a broadcast join
         nick_keys = (
-            base.join(F.broadcast(canon), base["_fn"] == canon["name"], "left")
+            base.where(has_fl)
+            .join(F.broadcast(canon), base["_fn"] == canon["name"], "left")
             .select(
                 "rid",
                 F.concat_ws(
@@ -285,35 +393,127 @@ def candidate_pairs_two_tables_names(keys_a: DataFrame, keys_b: DataFrame) -> Da
     return a.join(b, "key").select("src", "dst").distinct()
 
 
-# ---- F1-F3: scoring + thresholds (native) -----------------------------------
+# ---- F1-F3: scoring + thresholds (native, reference constants) --------------
+#
+# Constants from /root/reference/config.py:108-124 and the scoring rules of
+# /root/reference/analysis_engine.py:111-191. The reference's rapidfuzz
+# kernels (fuzz.ratio / token_set_ratio / WRatio) are replaced by NATIVE
+# analogs built on one levenshtein similarity (F.levenshtein inside
+# codegen); the pure-python oracle in tests/test_names.py implements the
+# SAME kernels, so cluster-assignment parity is testable end to end.
 
-THRESH_EXACT = 198   # config.py:119-123
-THRESH_FUZZY = 110
+THRESH_EXACT = 198    # strict_threshold, config.py:121
+THRESH_FUZZY = 110    # standard_threshold, config.py:122
+THRESH_LENIENT = 95   # lenient_threshold, config.py:123
+ADJ_FUZZY_NAME_ONLY = -20    # standard_adjustment, config.py:114
+ADJ_LENIENT_NAME_ONLY = -5   # lenient_adjustment, config.py:115
+# analysis_engine.py:121-133 bonuses / penalties
+BONUS_PHONETIC = 40.0
+BONUS_WRATIO = 30.0
+WRATIO_GATE = 95
+BDATE_EQ = 100.0
+BDATE_NEQ = -150.0
+CITY_CONFLICT = -30.0
+MIDDLE_FAR = -80.0      # both middle names len>1 and ratio < 65
+MIDDLE_INITIAL = -60.0  # middle initials differ
+# analysis_engine.py:163-188 adaptive (name-only) gates
+ADAPTIVE_FN_MIN = 60
+ADAPTIVE_LN_MIN = 85
+ADAPTIVE_MN_MIN = 80
+ADAPTIVE_FULL_MIN = 75
+ADAPTIVE_PENALTY = 0.9
 
 
 def _ratio(a, b):
     """100 * (1 - lev/max(len)) — native levenshtein similarity; 100 when
-    both empty."""
+    both empty (the engine's fuzz.ratio analog, same shape/range)."""
     mx = F.greatest(F.length(a), F.length(b))
     return F.when(mx == 0, F.lit(100.0)).otherwise(
         100.0 * (1.0 - F.levenshtein(a, b) / mx)
     )
 
 
+def _full_name(fn, mn, ln):
+    """Full name from NON-EMPTY parts (the reference's
+    f'{fn} {mn} {ln}'.strip().replace('  ',' ') — concat_ws alone keeps
+    empty strings and produces double spaces that skew the ratio)."""
+    return F.array_join(
+        F.filter(F.array(fn, mn, ln), lambda x: x != ""), " "
+    )
+
+
+def _tokens_of(c):
+    return F.filter(F.split(c, " "), lambda x: x != "")
+
+
+def _token_set_ratio(full_a, full_b):
+    """Native token_set_ratio (rapidfuzz structure): compare the sorted
+    token intersection against each side's intersection+difference string;
+    best of the three pairings. All array/levenshtein expressions."""
+    ta = F.array_sort(F.array_distinct(_tokens_of(full_a)))
+    tb = F.array_sort(F.array_distinct(_tokens_of(full_b)))
+    inter = F.array_join(F.array_sort(F.array_intersect(ta, tb)), " ")
+    d_ab = F.array_join(F.array_sort(F.array_except(ta, tb)), " ")
+    d_ba = F.array_join(F.array_sort(F.array_except(tb, ta)), " ")
+    s1 = F.trim(F.concat_ws(" ", inter, d_ab))
+    s2 = F.trim(F.concat_ws(" ", inter, d_ba))
+    return F.greatest(_ratio(inter, s1), _ratio(inter, s2), _ratio(s1, s2))
+
+
+def _token_sort_ratio(full_a, full_b):
+    sa = F.array_join(F.array_sort(_tokens_of(full_a)), " ")
+    sb = F.array_join(F.array_sort(_tokens_of(full_b)), " ")
+    return _ratio(sa, sb)
+
+
+def _wratio(full_a, full_b):
+    """Native WRatio analog: best of plain / token-sort / token-set ratio
+    (rapidfuzz's WRatio is a weighted max over the same kernel family;
+    used only as the >95 bonus gate and the audit floors, where the max
+    form is the conservative substitute)."""
+    return F.greatest(
+        _ratio(full_a, full_b),
+        _token_sort_ratio(full_a, full_b),
+        _token_set_ratio(full_a, full_b),
+    )
+
+
 def score_name_pairs(
-    pairs: DataFrame, feats: DataFrame, id_col: str = "rid",
+    pairs: DataFrame,
+    feats: DataFrame,
+    id_col: str = "rid",
     canon: DataFrame | None = None,
+    lenient: bool = False,
+    adaptive: bool = True,
 ) -> DataFrame:
-    """Composite confidence score per candidate pair (F1 analog):
-      hard rejects: sex conflict / suffix conflict -> -1000
-      base: 0.6*first_ratio + 0.4*middle_ratio + token-ish full ratio
-      bonuses: soundex(first)+soundex(last) equal & first>80 -> +40
-               birthdate equal -> +100, conflict -> -150
-               city differ (both non-empty) -> -30
-               middle initial mismatch -> -60
+    """Confidence score per candidate pair — the reference formula
+    (_calculate_match_confidence_optimized, analysis_engine.py:111-135):
+
+      sex conflict / suffix conflict              -> -1000 hard reject
+      nickname-equivalent first names             -> treated as identical
+                                                     (canonical substitution,
+                                                     also inside full name)
+      base score  = token_set_ratio(full_a, full_b)
+      +40 when soundex(first)+soundex(last) agree and first_ratio > 80
+      +30 when WRatio(full) > 95
+      +100 / -150 birthdate equal / conflict (both present)
+      -30 city conflict (both present)
+      -80 both middle names len>1 with ratio < 65, else -60 on initial
+          mismatch (both present)
+
+    adaptive=True layers the F2 name-only gates
+    (_calculate_match_confidence_adaptive, :137-191): when NEITHER record
+    pair side has a birthdate (raw or parsed), require fn>=60-or-equal,
+    ln>=85-or-equal, compatible middles, full>=75, then scale by 0.9
+    (int-truncated like the reference).
+
+    Status tiers (compare_records_*_configurable, :312-414): score>198 ->
+    Exact, >110 -> Fuzzy (>95 when lenient=True, the user_official third
+    pass); for name-only pairs (no birthdate, sex, or city) the fuzzy/
+    lenient thresholds shift by -20/-5 to 90.
     """
     f = feats.select(
-        F.col(id_col), "_fn", "_mn", "_ln", "_sfx", "_bd", "_sex", "_city"
+        F.col(id_col), "_fn", "_mn", "_ln", "_sfx", "_bd", "_bd_raw", "_sex", "_city"
     )
     if canon is not None:
         f = (
@@ -331,12 +531,17 @@ def score_name_pairs(
     )
     j = pairs.join(a, "src").join(b, "dst")
 
-    fn_r = F.greatest(_ratio(F.col("_fn_a"), F.col("_fn_b")), _ratio(F.col("_fnc_a"), F.col("_fnc_b")))
-    ln_r = _ratio(F.col("_ln_a"), F.col("_ln_b"))
+    # nickname substitution: equivalent first names become the SAME
+    # canonical token, both in the first-name ratio and the full name
+    # (the reference replaces fn1/fn2 with the common formal name)
+    same_canon = F.col("_fnc_a") == F.col("_fnc_b")
+    fn_a_eff = F.when(same_canon, F.col("_fnc_a")).otherwise(F.col("_fn_a"))
+    fn_b_eff = F.when(same_canon, F.col("_fnc_b")).otherwise(F.col("_fn_b"))
+
+    fn_r = _ratio(fn_a_eff, fn_b_eff)
     mn_r = _ratio(F.col("_mn_a"), F.col("_mn_b"))
-    full_a = F.concat_ws(" ", "_fn_a", "_mn_a", "_ln_a")
-    full_b = F.concat_ws(" ", "_fn_b", "_mn_b", "_ln_b")
-    full_r = _ratio(full_a, full_b)
+    full_a = _full_name(fn_a_eff, F.col("_mn_a"), F.col("_ln_a"))
+    full_b = _full_name(fn_b_eff, F.col("_mn_b"), F.col("_ln_b"))
 
     sex_conflict = (
         (F.col("_sex_a") != "") & (F.col("_sex_b") != "") & (F.col("_sex_a") != F.col("_sex_b"))
@@ -344,40 +549,108 @@ def score_name_pairs(
     sfx_conflict = (
         (F.col("_sfx_a") != "") & (F.col("_sfx_b") != "") & (F.col("_sfx_a") != F.col("_sfx_b"))
     )
-    sdx_bonus = F.when(
-        (F.soundex("_fn_a") == F.soundex("_fn_b"))
+    phonetic_bonus = F.when(
+        (F.soundex(fn_a_eff) == F.soundex(fn_b_eff))
         & (F.soundex("_ln_a") == F.soundex("_ln_b"))
         & (fn_r > 80),
-        40.0,
+        BONUS_PHONETIC,
+    ).otherwise(0.0)
+    wratio_bonus = F.when(
+        _wratio(full_a, full_b) > WRATIO_GATE, BONUS_WRATIO
     ).otherwise(0.0)
     bd_term = (
-        F.when((F.col("_bd_a") != "") & (F.col("_bd_a") == F.col("_bd_b")), 100.0)
+        F.when((F.col("_bd_a") != "") & (F.col("_bd_a") == F.col("_bd_b")), BDATE_EQ)
         .when(
             (F.col("_bd_a") != "") & (F.col("_bd_b") != "") & (F.col("_bd_a") != F.col("_bd_b")),
-            -150.0,
+            BDATE_NEQ,
         )
         .otherwise(0.0)
     )
     city_term = F.when(
         (F.col("_city_a") != "") & (F.col("_city_b") != "") & (F.col("_city_a") != F.col("_city_b")),
-        -30.0,
+        CITY_CONFLICT,
     ).otherwise(0.0)
-    mid_term = F.when(
-        (F.col("_mn_a") != "")
-        & (F.col("_mn_b") != "")
-        & (F.substring("_mn_a", 1, 1) != F.substring("_mn_b", 1, 1)),
-        -60.0,
-    ).otherwise(0.0)
+    both_mid = (F.col("_mn_a") != "") & (F.col("_mn_b") != "")
+    mid_term = (
+        F.when(
+            both_mid
+            & (F.length("_mn_a") > 1)
+            & (F.length("_mn_b") > 1)
+            & (mn_r < 65),
+            MIDDLE_FAR,
+        )
+        .when(
+            both_mid
+            & (F.substring("_mn_a", 1, 1) != F.substring("_mn_b", 1, 1)),
+            MIDDLE_INITIAL,
+        )
+        .otherwise(0.0)
+    )
 
-    base = 0.6 * fn_r + 0.4 * mn_r + 0.5 * ln_r + 0.5 * full_r
-    score = F.when(sex_conflict | sfx_conflict, F.lit(-1000.0)).otherwise(
-        F.round(base + sdx_bonus + bd_term + city_term + mid_term, 4)
+    base = F.round(
+        _token_set_ratio(full_a, full_b)
+        + phonetic_bonus
+        + wratio_bonus
+        + bd_term
+        + city_term
+        + mid_term,
+        4,
     )
-    status = (
-        F.when(score > THRESH_EXACT, "Exact Match")
-        .when(score > THRESH_FUZZY, "Fuzzy Match")
-        .otherwise(F.lit(None))
+    score = F.when(sex_conflict | sfx_conflict, F.lit(-1000.0)).otherwise(base)
+
+    has_bd = (
+        ((F.col("_bd_raw_a") != "") & (F.col("_bd_raw_b") != ""))
+        | ((F.col("_bd_a") != "") & (F.col("_bd_b") != ""))
     )
+    if adaptive:
+        # F2 name-only strict gates — the UNsubstituted first names, per
+        # the reference (adaptive rules read _opt_fname_exp directly)
+        fn_sim = _ratio(F.col("_fn_a"), F.col("_fn_b"))
+        ln_sim = _ratio(F.col("_ln_a"), F.col("_ln_b"))
+        full_sim = _ratio(
+            _full_name(F.col("_fn_a"), F.col("_mn_a"), F.col("_ln_a")),
+            _full_name(F.col("_fn_b"), F.col("_mn_b"), F.col("_ln_b")),
+        )
+        mid_incompatible = (
+            both_mid
+            & (F.length("_mn_a") > 1)
+            & (F.length("_mn_b") > 1)
+            & (mn_r < ADAPTIVE_MN_MIN)
+            & (F.substring("_mn_a", 1, 1) != F.substring("_mn_b", 1, 1))
+        )
+        gate_reject = (
+            ((fn_sim < ADAPTIVE_FN_MIN) & (F.col("_fn_a") != F.col("_fn_b")))
+            | ((ln_sim < ADAPTIVE_LN_MIN) & (F.col("_ln_a") != F.col("_ln_b")))
+            | mid_incompatible
+            | (full_sim < ADAPTIVE_FULL_MIN)
+        )
+        adaptive_score = F.when(gate_reject, F.lit(-1000.0)).otherwise(
+            # int() truncation toward zero, as the reference
+            (score * ADAPTIVE_PENALTY).cast("int").cast("double")
+        )
+        score = F.when(
+            (score <= -1000.0) | has_bd, score
+        ).otherwise(adaptive_score)
+
+    # per-pair threshold adjustment: name-only pairs (no birthdate, sex,
+    # or city on either side) shift the fuzzy/lenient thresholds
+    name_only = (
+        ~has_bd
+        & ~((F.col("_sex_a") != "") & (F.col("_sex_b") != ""))
+        & ~((F.col("_city_a") != "") & (F.col("_city_b") != ""))
+    )
+    fuzzy_t = F.when(
+        name_only, F.lit(THRESH_FUZZY + ADJ_FUZZY_NAME_ONLY)
+    ).otherwise(F.lit(THRESH_FUZZY))
+    lenient_t = F.when(
+        name_only, F.lit(THRESH_LENIENT + ADJ_LENIENT_NAME_ONLY)
+    ).otherwise(F.lit(THRESH_LENIENT))
+    status = F.when(score > THRESH_EXACT, "Exact Match").when(
+        score > fuzzy_t, "Fuzzy Match"
+    )
+    if lenient:
+        status = status.when(score > lenient_t, "Fuzzy Match")
+    status = status.otherwise(F.lit(None))
     return j.select("src", "dst", score.alias("score"), status.alias("status")).where(
         F.col("status").isNotNull()
     )

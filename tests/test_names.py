@@ -70,6 +70,27 @@ def _canon_map() -> dict[str, str]:
     return {n: find(n) for n in parent}
 
 
+def _norm_city(val: str) -> str:
+    """Python mirror of names.normalize_city_expr (C6)."""
+    import re
+
+    from name_deduplication_python_spark.operators.names import (
+        _CITY_ABBREV,
+        _CITY_SPECIAL,
+    )
+
+    c = val.strip().lower()
+    c = re.sub(
+        r"\b(city|municipality|municipal|town|mun\.?|barangay|brgy|bgy|lgu)\b", "", c
+    )
+    c = re.sub(r"[,\-_.\s]+", " ", c).strip()
+    c = " ".join(_CITY_ABBREV.get(w, w) for w in c.split(" "))
+    c = re.sub(r"^of\s+", "", c)
+    c = re.sub(r"\s*\([^)]*\)\s*", " ", c)
+    c = re.sub(r"\s+", " ", c).strip()
+    return _CITY_SPECIAL.get(c, c)
+
+
 def _norm_row(r: dict) -> dict:
     import re
 
@@ -82,61 +103,136 @@ def _norm_row(r: dict) -> dict:
                "2nd": "ii", "2": "ii", "ii": "ii", "iii": "iii", "3rd": "iii"}
     sfx = r.get("suffix", "").strip().lower()
     sfx = sfx_map.get(sfx, sfx)
-    bd = r.get("birthdate", "").strip()
+    bd_raw = r.get("birthdate", "").strip()
+    bd = bd_raw
     # fixture dates are already yyyy-MM-dd or MM/dd/yyyy
     if "/" in bd:
         m, d, y = bd.split("/")
         bd = f"{y}-{int(m):02d}-{int(d):02d}"
     sex = r.get("sex", "").strip().lower()
     sex = "male" if sex.startswith("m") else ("female" if sex.startswith("f") else "")
-    city = r.get("city", "").strip().lower()
-    return dict(fn=fn, ln=ln, mn=mn, sfx=sfx, bd=bd, sex=sex, city=city)
+    city = _norm_city(r.get("city", ""))
+    return dict(fn=fn, ln=ln, mn=mn, sfx=sfx, bd=bd, bd_raw=bd_raw, sex=sex, city=city)
+
+
+# ---- oracle kernels: same structure as the engine's native expressions ------
+
+def _full(fn: str, mn: str, ln: str) -> str:
+    return " ".join(x for x in (fn, mn, ln) if x)
+
+
+def _token_set_ratio(a: str, b: str) -> float:
+    ta, tb = set(a.split()), set(b.split())
+    s0 = " ".join(sorted(ta & tb))
+    s1 = f"{s0} {' '.join(sorted(ta - tb))}".strip()
+    s2 = f"{s0} {' '.join(sorted(tb - ta))}".strip()
+    return max(_ratio(s0, s1), _ratio(s0, s2), _ratio(s1, s2))
+
+
+def _token_sort_ratio(a: str, b: str) -> float:
+    return _ratio(" ".join(sorted(a.split())), " ".join(sorted(b.split())))
+
+
+def _wratio(a: str, b: str) -> float:
+    return max(_ratio(a, b), _token_sort_ratio(a, b), _token_set_ratio(a, b))
+
+
+def _has_bd(a: dict, b: dict) -> bool:
+    return bool((a["bd_raw"] and b["bd_raw"]) or (a["bd"] and b["bd"]))
 
 
 def _score(a: dict, b: dict, canon: dict[str, str]) -> float:
+    """Reference formula (_calculate_match_confidence_optimized +
+    _calculate_adaptive_match_confidence, analysis_engine.py:111-191) on
+    the engine's native ratio kernels."""
     if a["sex"] and b["sex"] and a["sex"] != b["sex"]:
         return -1000.0
     if a["sfx"] and b["sfx"] and a["sfx"] != b["sfx"]:
         return -1000.0
     fnc_a, fnc_b = canon.get(a["fn"], a["fn"]), canon.get(b["fn"], b["fn"])
-    fn_r = max(_ratio(a["fn"], b["fn"]), _ratio(fnc_a, fnc_b))
-    ln_r = _ratio(a["ln"], b["ln"])
+    same_canon = fnc_a == fnc_b
+    fa = fnc_a if same_canon else a["fn"]
+    fb = fnc_b if same_canon else b["fn"]
+    fn_r = _ratio(fa, fb)
     mn_r = _ratio(a["mn"], b["mn"])
-    full_r = _ratio(
-        " ".join(x for x in (a["fn"], a["mn"], a["ln"]) if x),
-        " ".join(x for x in (b["fn"], b["mn"], b["ln"]) if x),
-    )
-    score = 0.6 * fn_r + 0.4 * mn_r + 0.5 * ln_r + 0.5 * full_r
+    full_a, full_b = _full(fa, a["mn"], a["ln"]), _full(fb, b["mn"], b["ln"])
+    score = _token_set_ratio(full_a, full_b)
     if (
-        _soundex(a["fn"]) == _soundex(b["fn"])
+        _soundex(fa) == _soundex(fb)
         and _soundex(a["ln"]) == _soundex(b["ln"])
         and fn_r > 80
     ):
         score += 40
+    if _wratio(full_a, full_b) > 95:
+        score += 30
     if a["bd"] and a["bd"] == b["bd"]:
         score += 100
     elif a["bd"] and b["bd"] and a["bd"] != b["bd"]:
         score -= 150
     if a["city"] and b["city"] and a["city"] != b["city"]:
         score -= 30
-    if a["mn"] and b["mn"] and a["mn"][0] != b["mn"][0]:
-        score -= 60
-    return score
+    if a["mn"] and b["mn"]:
+        if len(a["mn"]) > 1 and len(b["mn"]) > 1 and mn_r < 65:
+            score -= 80
+        elif a["mn"][0] != b["mn"][0]:
+            score -= 60
+    score = round(score, 4)
+    # F2 adaptive name-only gates
+    if score <= -1000 or _has_bd(a, b):
+        return score
+    fn_sim = _ratio(a["fn"], b["fn"])
+    if fn_sim < 60 and a["fn"] != b["fn"]:
+        return -1000.0
+    ln_sim = _ratio(a["ln"], b["ln"])
+    if ln_sim < 85 and a["ln"] != b["ln"]:
+        return -1000.0
+    if (
+        a["mn"] and b["mn"] and len(a["mn"]) > 1 and len(b["mn"]) > 1
+        and _ratio(a["mn"], b["mn"]) < 80 and a["mn"][0] != b["mn"][0]
+    ):
+        return -1000.0
+    if _ratio(_full(a["fn"], a["mn"], a["ln"]), _full(b["fn"], b["mn"], b["ln"])) < 75:
+        return -1000.0
+    return float(int(score * 0.9))
+
+
+def _status(a: dict, b: dict, s: float, lenient: bool = False) -> str | None:
+    name_only = (
+        not _has_bd(a, b)
+        and not (a["sex"] and b["sex"])
+        and not (a["city"] and b["city"])
+    )
+    fuzzy_t = 90 if name_only else 110
+    lenient_t = 90 if name_only else 95
+    if s > 198:
+        return "Exact Match"
+    if s > fuzzy_t:
+        return "Fuzzy Match"
+    if lenient and s > lenient_t:
+        return "Fuzzy Match"
+    return None
+
+
+def _oracle_keys(n: dict, canon: dict[str, str]) -> set[str]:
+    ks = set()
+    if n["fn"] and n["ln"]:
+        ks.add(f"FL_{n['fn'].replace(' ', '')}_{n['ln'].replace(' ', '')}")
+        ks.add(f"SDX_{_soundex(n['fn'])}_{_soundex(n['ln'])}")
+        ks.add(f"FLC_{canon.get(n['fn'], n['fn'])}_{n['ln']}")
+    if n["ln"] and n["bd"]:
+        ks.add(f"LNBD_{n['ln']}_{n['bd']}")
+    parts = [p for p in (n["fn"], n["mn"], n["ln"]) if p]
+    if len(parts) > 1:
+        ks.add("SSDX_" + "_".join(sorted(_soundex(p) for p in parts)))
+    return ks
 
 
 def _oracle_clusters(rows: list[dict]) -> dict[str, str]:
     canon = _canon_map()
     norm = {r["rid"]: _norm_row(r) for r in rows}
-    # blocking: FL, SDX, LNBD/FL, FLC keys — mirror the Spark key set
     keys: dict[str, set[str]] = {}
     for rid, n in norm.items():
-        ks = {
-            f"FL_{n['fn']}_{n['ln']}",
-            f"SDX_{_soundex(n['fn'])}_{_soundex(n['ln'])}",
-            (f"LNBD_{n['ln']}_{n['bd']}" if n["bd"] else f"FL_{n['fn']}_{n['ln']}"),
-            f"FLC_{canon.get(n['fn'], n['fn'])}_{n['ln']}",
-        }
-        for k in ks:
+        for k in _oracle_keys(n, canon):
             keys.setdefault(k, set()).add(rid)
     pairs = set()
     for members in keys.values():
@@ -153,7 +249,8 @@ def _oracle_clusters(rows: list[dict]) -> dict[str, str]:
         return x
 
     for a, b in sorted(pairs):
-        if _score(norm[a], norm[b], canon) > THRESH_FUZZY:
+        s = _score(norm[a], norm[b], canon)
+        if _status(norm[a], norm[b], s) is not None:
             ra, rb = find(a), find(b)
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
@@ -194,6 +291,33 @@ ROWS = [
     # unrelated singleton
     dict(rid="r12", first_name="Zenaida", last_name="Ocampo", middle_name="Flor",
          birthdate="1975-09-09", city="Torrijos", sex="F", suffix=""),
+    # ---- F2 name-only records (no birthdate/sex/city): strict gates ----
+    dict(rid="r13", first_name="Ricardo", last_name="Delacruz", middle_name="",
+         birthdate="", city="", sex="", suffix=""),
+    dict(rid="r14", first_name="Ricardo", last_name="Delacruz", middle_name="",
+         birthdate="", city="", sex="", suffix=""),
+    # one-letter first-name variant: gates pass, 0.9 penalty applies
+    dict(rid="r15", first_name="Ricarda", last_name="Delacruz", middle_name="",
+         birthdate="", city="", sex="", suffix=""),
+    # same last name, very different first name -> adaptive hard reject
+    dict(rid="r16", first_name="Bonifacio", last_name="Delacruz", middle_name="",
+         birthdate="", city="", sex="", suffix=""),
+    # middle-name -80 rule: long dissimilar middles, same bdate
+    dict(rid="r17", first_name="Teodoro", last_name="Ramos", middle_name="Santos",
+         birthdate="1966-04-04", city="Boac", sex="M", suffix=""),
+    dict(rid="r18", first_name="Teodoro", last_name="Ramos", middle_name="Bautista",
+         birthdate="1966-04-04", city="Boac", sex="M", suffix=""),
+    # city-variant pair: C6 must canonicalize 'Sta. Cruz' == 'Santa Cruz'
+    dict(rid="r19", first_name="Imelda", last_name="Torres", middle_name="Reyes",
+         birthdate="1981-05-05", city="Sta. Cruz", sex="F", suffix=""),
+    dict(rid="r20", first_name="Imelda", last_name="Torres", middle_name="Reyes",
+         birthdate="1981-05-05", city="Santa Cruz", sex="F", suffix=""),
+    # swapped first/last, name-only: token_set_ratio=100 would fuzzy-match
+    # (130 > 90) WITHOUT the F2 gates; adaptive fn-similarity rule rejects
+    dict(rid="r21", first_name="Dimaculangan", last_name="Rogelio", middle_name="",
+         birthdate="", city="", sex="", suffix=""),
+    dict(rid="r22", first_name="Rogelio", last_name="Dimaculangan", middle_name="",
+         birthdate="", city="", sex="", suffix=""),
 ]
 
 
@@ -230,6 +354,45 @@ def test_seeded_semantics(result):
     assert not same("r06", "r07"), "birthdate conflict must NOT cluster"
     assert not same("r08", "r09"), "sex conflict is a hard reject"
     assert "r12" not in clusters, "singleton stays unclustered"
+    # F2 adaptive name-only semantics
+    assert same("r13", "r14"), "identical name-only records must cluster"
+    assert not same("r13", "r16"), "name-only far first names: adaptive reject"
+    assert not same("r21", "r22"), (
+        "swapped first/last name-only records score 130 via token_set but "
+        "the F2 first-name gate must hard-reject"
+    )
+    # C6 city canonicalization feeds the -30 conflict term
+    assert same("r19", "r20"), "Sta. Cruz == Santa Cruz after C6 canon"
+
+
+def test_adaptive_penalty_and_status(result):
+    """r13~r15 (name-only, near first names) must carry the 0.9-truncated
+    adaptive score and the shifted fuzzy threshold (90, not 110)."""
+    edges, _ = result
+    canon = _canon_map()
+    a, b = _norm_row(ROWS[12]), _norm_row(ROWS[14])  # r13, r15
+    want = _score(a, b, canon)
+    assert want == float(int(want))  # int-truncated by the adaptive path
+    assert _status(a, b, want) is not None
+
+
+def test_middle_name_far_penalty(result):
+    """r17/r18: both long middles, ratio<65 -> -80 (not -60)."""
+    edges, clusters = result
+    canon = _canon_map()
+    a, b = _norm_row(ROWS[16]), _norm_row(ROWS[17])
+    s = _score(a, b, canon)
+    # components: token_set + phonetic(40) + wratio? + bdate(100) - 80
+    ts = _token_set_ratio(
+        _full(a["fn"], a["mn"], a["ln"]), _full(b["fn"], b["mn"], b["ln"])
+    )
+    wr = 30 if _wratio(_full(a["fn"], a["mn"], a["ln"]), _full(b["fn"], b["mn"], b["ln"])) > 95 else 0
+    assert s == round(ts + 40 + wr + 100 - 80, 4)
+    spark_scores = {(r, c): v for (r, c), v in edges.items()}
+    # Spark emitted the same pair iff oracle says matchable
+    assert (("r17", "r18") in {k for k in spark_scores}) == (
+        _status(a, b, s) is not None
+    )
 
 
 def test_two_table_linkage_names(spark):

@@ -156,3 +156,53 @@ def test_audit_clean_on_honest_edges(spark):
         "src string, dst string, est_jaccard double, hamming int, status string",
     )
     assert audit_edges(edges, texts).count() == 0
+
+
+def test_audit_name_pairs_flags_planted_issues(spark):
+    """R1/R3 names-domain audit (auditor.py:229-277 analog): planted bad
+    pairs must be flagged with the right rules; honest pairs stay clean."""
+    import pandas as pd
+
+    from name_deduplication_python_spark.operators.audit import audit_name_pairs
+    from name_deduplication_python_spark.operators.names import (
+        normalize_records,
+        remap_columns,
+    )
+
+    rows = [
+        dict(rid="n1", first_name="Jose", last_name="Mercado", middle_name="Santos",
+             birthdate="1990-01-15", city="Boac", sex="M", suffix=""),
+        dict(rid="n2", first_name="Jose", last_name="Mercado", middle_name="Santos",
+             birthdate="1991-02-02", city="Boac", sex="M", suffix=""),   # bdate mismatch
+        dict(rid="n3", first_name="Jose", last_name="Mercado", middle_name="Santos",
+             birthdate="1990-01-15", city="Boac", sex="M", suffix=""),   # clean twin of n1
+        dict(rid="n4", first_name="Rodrigo", last_name="Mercado", middle_name="Bautista",
+             birthdate="", city="Gasan", sex="", suffix=""),             # name-only side
+        dict(rid="n5", first_name="Jovita", last_name="Mercado", middle_name="Cruz",
+             birthdate="", city="Boac", sex="", suffix=""),              # name-only side
+    ]
+    feats = normalize_records(
+        remap_columns(spark.createDataFrame(pd.DataFrame(rows)), keep=["rid"])
+    )
+    edges = spark.createDataFrame(
+        [
+            ("n1", "n2", "Fuzzy Match"),   # birthdate mismatch
+            ("n1", "n3", "Exact Match"),   # honest exact pair
+            ("n4", "n5", "Fuzzy Match"),   # name-only: far names + city differ
+        ],
+        "src string, dst string, status string",
+    )
+    got = audit_name_pairs(edges, feats).toPandas()
+    issues = {
+        (r.src, r.dst): set()
+        for r in got.itertuples()
+    }
+    for r in got.itertuples():
+        issues[(r.src, r.dst)].add(r.issue)
+
+    assert "birthdate-mismatch" in issues[("n1", "n2")]
+    assert ("n1", "n3") not in issues, "honest exact pair must be clean"
+    flagged_45 = issues[("n4", "n5")]
+    assert "city-differs-name-only" in flagged_45          # R3 guard
+    assert "first-name-low-sim" in flagged_45              # R1 floor
+    assert "fuzzy-remark-low-wratio" in flagged_45         # R4 consistency

@@ -62,6 +62,33 @@ def test_nickname_rules():
     assert all(len(n) >= 2 for n in generate_nicknames_py("Al"))
 
 
+def test_nickname_core_prefix_rules():
+    """N2 core/prefix families (nickname_generator.py:203-231)."""
+    assert "leo" in generate_nicknames_py("Leonardo")
+    assert "vic" in generate_nicknames_py("Victorino")
+    assert "ric" in generate_nicknames_py("Federico")   # infix
+    assert "greg" in generate_nicknames_py("Gregorio")
+    assert "ben" in generate_nicknames_py("Benigno")
+    assert "chard" in generate_nicknames_py("Richard")
+    assert "wena" in generate_nicknames_py("Rowena")
+    assert "mar" in generate_nicknames_py("Marlon")
+    assert "noel" in generate_nicknames_py("Noelito")
+
+
+def test_nickname_lyn_and_ann_and_maria_split():
+    """N2 -lyn/-lynn split, N5 'X Ann'->Xn and maria*-split."""
+    got = generate_nicknames_py("Jocelyn")
+    assert "lyn" in got and "joce" in got               # stem len>=4 kept
+    got2 = generate_nicknames_py("Marilyn")
+    assert "lyn" in got2 and "mari" in got2
+    assert "lovelyn" in generate_nicknames_py("Lovely Ann")
+    assert "lovelyn" in generate_nicknames_py("Lovely Anne")
+    mf = generate_nicknames_py("Mariafe")
+    assert "maria" in mf and "fe" in mf
+    # filter: non-alphabetic and single-char candidates never emitted
+    assert all(n.isalpha() and len(n) >= 2 for n in mf)
+
+
 def test_nickname_generation_spark_and_overrides(spark):
     df = spark.createDataFrame(
         pd.DataFrame({"formal_name": ["Jose", "Gilbert", "Unknownxyz"]})
