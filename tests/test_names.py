@@ -472,3 +472,16 @@ def test_full_name_split(spark):
     assert (r2["first_name"], r2["last_name"], r2["middle_name"]) == ("Ana", "Cruz", "")
     r3 = got.iloc[3]
     assert (r3["last_name"], r3["first_name"]) == ("Reyes", "Maria")
+
+
+def test_pair_tester_helper(spark):
+    """F5 quick pair tester (analysis_engine.py:198-231 analog)."""
+    from name_deduplication_python_spark.operators.names import test_name_pair
+
+    score, status = test_name_pair(
+        spark, "Jose", "Mercado", "Pepe", "Mercado",
+        birthdate1="1990-01-15", birthdate2="1990-01-15",
+    )
+    assert status == "Exact Match" and score > 198
+    score2, status2 = test_name_pair(spark, "Zenaida", "Ocampo", "Carlos", "Lim")
+    assert status2 is None and score2 <= 90

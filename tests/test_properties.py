@@ -66,10 +66,14 @@ def _naive_shingle_minhash(text, num_hashes, k, seed):
                 v = v * _POLY_C + t
             shingles = [v]
         a, b = _hash_params(num_hashes, seed)
+        # uint32 multiply-shift over the shingle's high 32 bits
         return np.array(
-            [min(a[i] * np.uint64(s) + b[i] for s in shingles) for i in range(num_hashes)],
-            dtype=np.uint64,
-        ).view(np.int64)
+            [
+                min(a[i] * np.uint32(int(s) >> 32) + b[i] for s in shingles)
+                for i in range(num_hashes)
+            ],
+            dtype=np.uint32,
+        ).view(np.int32)
 
 
 @settings(max_examples=60, deadline=None)

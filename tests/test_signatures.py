@@ -35,10 +35,17 @@ def _oracle_minhash(text: str, num_hashes: int, k: int, seed: int) -> np.ndarray
         shingles = [v]
     a, b = _hash_params(num_hashes, seed)
     with np.errstate(over="ignore"):
+        # uint32 multiply-shift over the shingle's high 32 bits
         return np.array(
-            [min(a[i] * np.uint64(s) + b[i] for s in shingles) for i in range(num_hashes)],
-            dtype=np.uint64,
-        ).view(np.int64)
+            [
+                min(
+                    a[i] * np.uint32(int(s) >> 32) + b[i]
+                    for s in shingles
+                )
+                for i in range(num_hashes)
+            ],
+            dtype=np.uint32,
+        ).view(np.int32)
 
 
 def _true_jaccard(t1: str, t2: str, k: int = 5) -> float:

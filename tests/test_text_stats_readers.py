@@ -34,12 +34,79 @@ def test_read_csv_permissive_drops_allnull(spark, tmp_path):
     assert dict(df.dtypes)["a"] == "string"  # string-typed like the reference
 
 
-def test_read_tsv_and_excel_stub(spark, tmp_path):
+def test_read_tsv_and_excel(spark, tmp_path):
     p = tmp_path / "in.txt"
     p.write_text("a\tb\n1\tx\n")
     assert read_table(spark, str(p)).count() == 1
-    with pytest.raises(NotImplementedError, match="Excel"):
-        read_table(spark, str(tmp_path / "x.xlsx"))
+    with pytest.raises(NotImplementedError, match="xls"):
+        read_table(spark, str(tmp_path / "x.xls"))
+
+
+def _write_min_xlsx(path, header, rows):
+    """Hand-rolled minimal xlsx (zip of XML) — S2 fixture."""
+    import zipfile
+
+    strings: list[str] = []
+
+    def sref(s):
+        strings.append(s)
+        return len(strings) - 1
+
+    def cell_ref(r, c):
+        col = ""
+        c += 1
+        while c:
+            c, rem = divmod(c - 1, 26)
+            col = chr(65 + rem) + col
+        return f"{col}{r + 1}"
+
+    body = []
+    for ri, row in enumerate([header] + rows):
+        cells = []
+        for ci, v in enumerate(row):
+            if isinstance(v, (int, float)):
+                cells.append(f'<c r="{cell_ref(ri, ci)}"><v>{v}</v></c>')
+            elif v is None:
+                continue
+            else:
+                cells.append(
+                    f'<c r="{cell_ref(ri, ci)}" t="s"><v>{sref(v)}</v></c>'
+                )
+        body.append(f'<row r="{ri + 1}">{"".join(cells)}</row>')
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    sheet = (
+        f'<worksheet xmlns="{ns}"><sheetData>{"".join(body)}</sheetData></worksheet>'
+    )
+    sst = f'<sst xmlns="{ns}">' + "".join(
+        f"<si><t>{s}</t></si>" for s in strings
+    ) + "</sst>"
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+        z.writestr("xl/sharedStrings.xml", sst)
+
+
+def test_read_xlsx_roundtrip(spark, tmp_path):
+    """S2: native stdlib xlsx scan — shared strings, numerics rendered as
+    text (dtype=str parity), sparse cells, all-empty rows dropped."""
+    p = str(tmp_path / "t.xlsx")
+    _write_min_xlsx(
+        p,
+        ["First Name", "Last Name", "Age"],
+        [
+            ["Jose", "Mercado", 31],
+            ["Ana", None, 28.0],
+            ["", "", None],          # all-empty -> dropped (P4)
+            ["Ma. Luisa", "Reyes", 40],
+        ],
+    )
+    df = read_table(spark, p)
+    got = df.toPandas()
+    assert list(got.columns) == ["First Name", "Last Name", "Age"]
+    assert len(got) == 3
+    assert dict(df.dtypes)["Age"] == "string"
+    assert got.iloc[0]["Age"] == "31"
+    assert got.iloc[1]["Age"] == "28"   # 28.0 -> '28' like dtype=str ints
+    assert got.iloc[2]["First Name"] == "Ma. Luisa"
 
 
 def test_row_provenance(spark):
