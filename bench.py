@@ -191,7 +191,11 @@ def run_scaling() -> None:
     n_big = n_small * 4
     results: dict[int, dict] = {}
     runs: dict[int, list] = {n_small: [], n_big: []}
-    spec = os.environ.get("SPARK_GRAFT_CORPUS_SPEC", "nb400000_t300-900")
+    # 1.36M pages: large enough that per-stage compute dominates the ~10s
+    # of fixed driver/scheduling overhead (which at 10^12 docs is nothing,
+    # but at small corpora poisons the measured ratio — Amdahl on the
+    # harness, not the engine)
+    spec = os.environ.get("SPARK_GRAFT_CORPUS_SPEC", "nb800000_t300-900")
     ceiling = _host_ceiling(n_small, n_big)
     for rep in range(repeats):
         for cpus in (n_small, n_big):

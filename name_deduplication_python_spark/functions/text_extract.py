@@ -10,9 +10,10 @@ Extraction spec (THE contract, mirrored by the pure-python oracle in
 ``extract_text_oracle`` and tested byte-for-byte):
 
   1. decode bytes as UTF-8 with errors='replace'
-  2. replace <script>...</script>, <style>...</style> and
-     <title>...</title> blocks (case-insensitive, dot-matches-newline,
-     non-greedy) with a space
+  2. replace <script>...</script> / <style>...</style> /
+     <title>...</title> blocks with a space — ONE leftmost-first
+     alternation pass (case-insensitive, dot-matches-newline, non-greedy;
+     on pathological cross-nested blocks the leftmost opening tag wins)
   3. replace every remaining tag ``<...>`` with a space
   4. unescape the closed entity set, in this order:
      &lt; -> <   &gt; -> >   &quot; -> "   &#39; -> '   &nbsp; -> space
@@ -32,9 +33,13 @@ import re
 
 import pandas as pd
 
-_SCRIPT_RE = re.compile(r"<script\b.*?</script\s*>", re.IGNORECASE | re.DOTALL)
-_STYLE_RE = re.compile(r"<style\b.*?</style\s*>", re.IGNORECASE | re.DOTALL)
-_TITLE_RE = re.compile(r"<title\b.*?</title\s*>", re.IGNORECASE | re.DOTALL)
+# one leftmost-first alternation pass for all three block kinds (spec
+# step 2): a third of the full-document regex scans of three sequential
+# passes; oracle and vectorized path share this exact regex so the
+# byte-identity contract holds by construction
+_BLOCK_RE = re.compile(
+    r"<(script|style|title)\b.*?</\1\s*>", re.IGNORECASE | re.DOTALL
+)
 _TAG_RE = re.compile(r"<[^>]*>")
 _WS_RE = re.compile(r"[ \t\r\n]+")
 
@@ -54,9 +59,7 @@ def extract_text_oracle(html: bytes | None) -> str | None:
     if html is None:
         return None
     s = html.decode("utf-8", errors="replace")
-    s = _SCRIPT_RE.sub(" ", s)
-    s = _STYLE_RE.sub(" ", s)
-    s = _TITLE_RE.sub(" ", s)
+    s = _BLOCK_RE.sub(" ", s)
     s = _TAG_RE.sub(" ", s)
     for pat, rep in _ENTITIES:
         s = s.replace(pat, rep)
@@ -72,9 +75,7 @@ def extract_series(html: pd.Series) -> pd.Series:
     """
     mask = html.notna()
     s = html[mask].str.decode("utf-8", errors="replace")
-    s = s.str.replace(_SCRIPT_RE, " ", regex=True)
-    s = s.str.replace(_STYLE_RE, " ", regex=True)
-    s = s.str.replace(_TITLE_RE, " ", regex=True)
+    s = s.str.replace(_BLOCK_RE, " ", regex=True)
     s = s.str.replace(_TAG_RE, " ", regex=True)
     for pat, rep in _ENTITIES:
         s = s.str.replace(pat, rep, regex=False)

@@ -167,12 +167,19 @@ def components_with_singletons(
     all_ids: DataFrame,
     id_col: str = "url",
     edge_count_hint: int | None = None,
+    ids_unique: bool = False,
 ) -> DataFrame:
     """Assign every id a cluster: edge components get min-id labels,
     untouched ids are their own singleton cluster (reference analog: rows
-    never matched stay unique, /root/reference/analysis_engine.py:649-663)."""
+    never matched stay unique, /root/reference/analysis_engine.py:649-663).
+
+    ids_unique: the caller guarantees all_ids carries one row per id
+    (true for pipeline stage outputs keyed by url) — skips the distinct's
+    full-table shuffle."""
     comp = connected_components(edges, edge_count_hint=edge_count_hint)
-    ids = all_ids.select(F.col(id_col).alias("url")).distinct()
+    ids = all_ids.select(F.col(id_col).alias("url"))
+    if not ids_unique:
+        ids = ids.distinct()
     return ids.join(comp, "url", "left").select(
         "url", F.coalesce("cluster_id", "url").alias("cluster_id")
     )

@@ -181,16 +181,20 @@ class DedupPipeline:
             keys = band_keys(
                 sigs, bands=cfg.bands, rows_per_band=cfg.rows_per_band
             )
+            t_aux = time.time()
             n_nonempty = sigs.where(F.col("n_shingles") > 0).count()
             pairs_df, bucket_stats = candidate_pairs(
                 keys,
                 bucket_cap=cfg.bucket_cap,
                 total_keys=n_nonempty * cfg.bands,
             )
+            self.stage_seconds["aux_nonempty_count"] = time.time() - t_aux
             pairs = self._materialize("pairs", pairs_df)
+            t_aux = time.time()
             stats = bucket_stats.collect()[0].asDict()
             with open(os.path.join(self.workdir, "bucket_stats.json"), "w") as f:
                 json.dump({k: float(v) for k, v in stats.items()}, f)
+            self.stage_seconds["aux_bucket_stats"] = time.time() - t_aux
 
         if _done(self._path("edges")):
             edges = self.spark.read.parquet(self._path("edges"))
@@ -237,6 +241,7 @@ class DedupPipeline:
                     extracted,
                     "url",
                     edge_count_hint=n_edges,
+                    ids_unique=True,  # stage outputs are keyed by url
                 ),
             )
 
