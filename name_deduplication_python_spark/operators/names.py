@@ -711,3 +711,64 @@ def dedupe_names(
     edges = score_name_pairs(pairs, feats, id_col, canon)
     clusters = connected_components(edges.select("src", "dst"))
     return edges, clusters
+
+
+def link_tables(
+    spark: SparkSession,
+    user: DataFrame,
+    master: DataFrame | None = None,
+    officials: DataFrame | None = None,
+    id_col: str = "rid",
+    use_nicknames: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """F4 multi-pass orchestration (_perform_matching,
+    /root/reference/analysis_engine.py:515-552): three candidate pools
+    with their pass pipelines —
+
+      user x officials  strict + standard + LENIENT   (lenient=True)
+      user x master     strict + standard
+      user x user       strict + standard
+
+    The reference runs the tiers as sequential passes with an
+    already-matched anti-join (P5); because every tier shares ONE scorer
+    and the thresholds are nested (198 > 110 > 95), a single scored pass
+    per pool with the pool's lowest tier enabled emits the identical edge
+    set with the identical status labels, so the anti-join is subsumed
+    (SURVEY §4.1). Ids across tables must be globally unique (the
+    reference prefixes user_/master_/official_; callers do the same).
+
+    Returns (edges with pair_type, clusters over ALL edges).
+    """
+    canon = nickname_canonical(spark) if use_nicknames else None
+    fu = normalize_records(remap_columns(user, keep=[id_col]))
+    ku = blocking_keys(fu, id_col, canon)
+    edges = None
+
+    def add(e: DataFrame, tag: str):
+        nonlocal edges
+        e = e.withColumn("pair_type", F.lit(tag))
+        edges = e if edges is None else edges.unionByName(e)
+
+    if officials is not None:
+        fo = normalize_records(remap_columns(officials, keep=[id_col]))
+        pairs = candidate_pairs_two_tables_names(
+            ku, blocking_keys(fo, id_col, canon)
+        )
+        add(
+            score_name_pairs(
+                pairs, fu.unionByName(fo), id_col, canon, lenient=True
+            ),
+            "user_official",
+        )
+    if master is not None:
+        fm = normalize_records(remap_columns(master, keep=[id_col]))
+        pairs = candidate_pairs_two_tables_names(
+            ku, blocking_keys(fm, id_col, canon)
+        )
+        add(
+            score_name_pairs(pairs, fu.unionByName(fm), id_col, canon),
+            "user_master",
+        )
+    add(score_name_pairs(candidate_pairs_names(ku), fu, id_col, canon), "user_user")
+    clusters = connected_components(edges.select("src", "dst"))
+    return edges, clusters

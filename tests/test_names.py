@@ -485,3 +485,47 @@ def test_pair_tester_helper(spark):
     assert status == "Exact Match" and score > 198
     score2, status2 = test_name_pair(spark, "Zenaida", "Ocampo", "Carlos", "Lim")
     assert status2 is None and score2 <= 90
+
+
+def test_link_tables_multi_pass(spark):
+    """F4 orchestration (analysis_engine.py:515-552): three pools, the
+    officials pool gets the lenient tier, clusters span tables."""
+    from name_deduplication_python_spark.operators.names import link_tables
+
+    u2 = dict(rid="user_2", first_name="Rosalinda", last_name="Cruz", middle_name="A",
+              birthdate="1980-02-02", city="Boac", sex="F", suffix="")
+    o1 = dict(rid="official_1", first_name="Rosa", last_name="Cruz", middle_name="L",
+              birthdate="1980-02-02", city="Boac", sex="F", suffix="")
+    # self-validating fixture: the oracle must place this pair strictly in
+    # the lenient-only band (95 < s <= 110) — shared LNBD block, +100
+    # birthdate, -60 middle-initial, no phonetic/wratio bonus
+    canon = _canon_map()
+    s = _score(_norm_row(u2), _norm_row(o1), canon)
+    assert 95 < s <= 110, s
+    assert _status(_norm_row(u2), _norm_row(o1), s, lenient=True) == "Fuzzy Match"
+    assert _status(_norm_row(u2), _norm_row(o1), s, lenient=False) is None
+
+    user = spark.createDataFrame(pd.DataFrame([
+        dict(rid="user_1", first_name="Jose", last_name="Mercado", middle_name="Santos",
+             birthdate="1990-01-15", city="Boac", sex="M", suffix=""),
+        u2,
+    ]))
+    master = spark.createDataFrame(pd.DataFrame([
+        dict(rid="master_1", first_name="Jose", last_name="Mercado", middle_name="Santos",
+             birthdate="1990-01-15", city="Boac", sex="M", suffix=""),
+        # same record as the official: the user_master pool has NO lenient
+        # tier, so this pair must NOT produce an edge
+        dict(rid="master_2", first_name="Rosa", last_name="Cruz", middle_name="L",
+             birthdate="1980-02-02", city="Boac", sex="F", suffix=""),
+    ]))
+    officials = spark.createDataFrame(pd.DataFrame([o1]))
+    edges, clusters = link_tables(spark, user, master, officials)
+    got = {(r.src, r.dst): (r.pair_type, r.status) for r in edges.collect()}
+    assert ("user_1", "master_1") in got
+    assert got[("user_1", "master_1")][0] == "user_master"
+    lab = {r.url: r.cluster_id for r in clusters.collect()}
+    assert lab.get("user_1") == lab.get("master_1")
+    # lenient tier catches the officials pair...
+    assert got.get(("user_2", "official_1")) == ("user_official", "Fuzzy Match")
+    # ...but the SAME record in the master pool (no lenient tier) does not
+    assert ("user_2", "master_2") not in got
