@@ -3,20 +3,32 @@
 Reference semantics: J1 blocking-key generator + J2 inverted-index
 self-join (/root/reference/analysis_engine.py:418-437) — every record
 emits blocking keys, all C(n,2) pairs within a bucket become candidates.
-Here the keys are MinHash band hashes and the bucket pairing is an
-equi-self-join with explicit skew handling (the reference is single-
-process and has no skew story, SURVEY §4.2):
+Here the keys are MinHash band hashes, with explicit skew handling (the
+reference is single-process and has no skew story, SURVEY §4.2):
 
-  * singleton buckets are dropped BEFORE the join (a semi-join against
-    bucket counts) — at web scale most buckets are singletons;
+  * singleton buckets (the web-scale majority) are dropped right after
+    the aggregation, before any pair is generated;
   * buckets <= bucket_cap get full C(n,2) pairing (exact, quadratic);
-  * hot buckets (> cap, boilerplate pages) get linear star+chain pairing:
-    every member pairs with the bucket minimum AND with its successor in
-    id order. Connectivity within the bucket is preserved (the chain),
-    so downstream connected components see the same clusters as full
-    pairing would WHEN the verifier keeps chain edges; recall impact is
-    measured in tests (tests/test_recall.py) and bucket stats are
-    returned for the metrics table.
+  * hot buckets (> cap, boilerplate pages) get linear star+chain pairing
+    (or chunked "salted" pairing): connectivity within the bucket is
+    preserved, so downstream connected components see the same clusters;
+    recall impact is gate-tested (tests/test_recall.py).
+
+Plan shape (round-2 rewrite): ONE hash-aggregate shuffle —
+``groupBy(band, bh).agg(sort_array(collect_list(id)))`` — then the pair
+list is a NATIVE conditional array expression over the sorted member
+array (nested transform/slice), exploded. The round-1 form (window count
++ localCheckpoint + equi-self-join) sorted 25x|docs| rows and spilled
+them to local disk per run: measured 38 s at local[8] on 1.36M pages,
+scaling at 0.33 efficiency (I/O-bound). The aggregate form does no sort,
+no checkpoint, and no join, and bucket statistics ride along as an
+``Observation`` (computed inside the SAME action, zero extra jobs).
+
+The only structural risk of collect_list is a mega-bucket's member array
+living in one row (~8 MB per 10^6 ids); bucket pathology beyond that is
+exactly what the banding hash makes astronomically unlikely for
+non-duplicate content, and duplicate families that large should be
+handled by the exact-dup pass first.
 
 Everything is native DataFrame ops — band hashes via xxhash64 over
 signature slices, no UDFs at all in this stage.
@@ -24,7 +36,7 @@ signature slices, no UDFs at all in this stage.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -56,139 +68,132 @@ def band_keys(
     )
 
 
+def _pairs_of(arr, struct_names=("src", "dst")):
+    """All C(n,2) ordered pairs of a SORTED array as a native expression:
+    flatten(transform(arr, (x,i) -> transform(suffix after x, y ->
+    struct(x,y)))). Sorted input makes src < dst by construction."""
+    sz = F.size(arr)
+    s, d = struct_names
+    return F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + 2, F.greatest(sz - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias(s), y.alias(d)),
+            ),
+        )
+    )
+
+
+def bucket_stats_job(keys: DataFrame, bucket_cap: int = 64) -> dict:
+    """Explicit bucket-stats aggregate (same five fields the Observation
+    carries). Fallback for the zero-pair case, where AQE's empty-relation
+    propagation prunes the plan before CollectMetrics executes and the
+    Observation never populates (observed on Spark 4.1) — in exactly that
+    case this recompute is near-free (tiny input)."""
+    g = keys.groupBy("band", "bh").agg(F.count("*").alias("n"))
+    row = g.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.count(F.when(F.col("n") == 1, 1)).alias("n_singleton"),
+        F.count(F.when(F.col("n") > bucket_cap, 1)).alias("n_hot"),
+        F.coalesce(F.max("n"), F.lit(0)).alias("max_bucket"),
+        F.coalesce(
+            F.round(F.sum(F.col("n").cast("double") * (F.col("n") - 1) / 2.0), 1),
+            F.lit(0.0),
+        ).alias("full_pairing_cost"),
+    ).collect()[0]
+    return row.asDict()
+
+
 def candidate_pairs(
     keys: DataFrame,
     id_col: str = "url",
     bucket_cap: int = 64,
-    materialize: bool = True,
-    total_keys: int | None = None,
     hot_strategy: str = "star_chain",
-) -> tuple[DataFrame, DataFrame]:
-    """(id, band, bh) -> canonical candidate pair DataFrame (src < dst).
+    with_stats: bool = True,
+) -> tuple[DataFrame, Observation | None]:
+    """(id, band, bh) -> canonical candidate pair DataFrame (src < dst),
+    distinct across bands.
 
-    Returns (pairs, bucket_stats). pairs is distinct across bands.
+    Returns (pairs, observation). The observation carries bucket stats
+    (n_buckets, n_singleton, n_hot, max_bucket, full_pairing_cost) and is
+    populated by the FIRST action on `pairs` — read ``observation.get``
+    after materializing; no extra job runs. None when with_stats=False.
 
-    materialize: localCheckpoint the counted key set before branching —
-    the small/hot/self-join branches would otherwise each recompute the
-    upstream scan + window shuffle (observed in .explain: no exchange
-    reuse across the three branches).
-
-    total_keys: total (id, band, bh) rows INCLUDING singleton buckets —
-    lets bucket_stats report singleton counts without re-aggregating the
-    full key set (the caller usually knows it: nonempty_docs * bands).
-    Stats derive from the already-checkpointed multi-bucket rows: each
-    row contributes 1/n, so sum(1/n) counts buckets exactly.
-
-    hot_strategy: how buckets ABOVE bucket_cap pair up (both preserve
+    hot_strategy — how buckets ABOVE bucket_cap pair up (both preserve
     within-bucket connectivity, so downstream CC sees the same clusters;
     recall under forced hot buckets is gate-tested for both):
-      * "star_chain" (default): every member pairs with the bucket min
-        AND its successor — 2n rows, the cheapest connectivity-preserving
-        form.
-      * "salted": the DESIGN.md §Skew item-4 scheme — members split into
-        ceil(n/cap) salt sub-buckets by pmod(xxhash64(id), s); each
-        sub-bucket pairs fully (~cap^2/2 rows, task-bounded), plus a
-        chain across sub-bucket minima reconnects the bucket. More pairs
-        than star_chain (denser verification inside hot families) at the
-        same per-task bound — use when hot buckets are real duplicate
-        families rather than boilerplate noise.
+      * "star_chain" (default): every member pairs with the bucket
+        minimum AND its successor in sorted order — 2n rows, the cheapest
+        connectivity-preserving form.
+      * "salted": DESIGN §Skew item 4 — the sorted member array splits
+        into ceil(n/cap) chunks; each chunk pairs fully (~cap^2/2 rows)
+        plus a chain across chunk heads reconnects the bucket. Denser
+        in-family verification at the same per-row bound.
     """
-    # single shuffle on (band, bh): window count replaces groupBy+join-back
-    wp = Window.partitionBy("band", "bh")
-    keyed = keys.withColumn("n", F.count("*").over(wp)).where(F.col("n") > 1)
-    if materialize:
-        keyed = keyed.localCheckpoint()
-
-    tk = F.lit(total_keys) if total_keys is not None else F.lit(None).cast("long")
-    bucket_stats = keyed.groupBy().agg(
-        F.coalesce(F.round(F.sum(1.0 / F.col("n"))).cast("long"), F.lit(0)).alias(
-            "n_multi_buckets"
-        ),
-        F.count("*").alias("n_multi_rows"),
-        F.coalesce(
-            F.round(
-                F.sum(
-                    F.when(F.col("n") > bucket_cap, 1.0 / F.col("n")).otherwise(0.0)
-                )
-            ).cast("long"),
-            F.lit(0),
-        ).alias("n_hot"),
-        F.coalesce(F.max("n"), F.lit(0)).alias("max_bucket"),
-        F.coalesce(F.round(F.sum((F.col("n") - 1) / 2.0), 1), F.lit(0.0)).alias(
-            "full_pairing_cost"
-        ),
-    ).select(
-        (tk - F.col("n_multi_rows") + F.col("n_multi_buckets")).alias("n_buckets"),
-        (tk - F.col("n_multi_rows")).alias("n_singleton"),
-        "n_hot",
-        "max_bucket",
-        "full_pairing_cost",
+    grouped = keys.groupBy("band", "bh").agg(
+        F.sort_array(F.collect_list(id_col)).alias("m")
     )
+    n = F.size("m")
+    obs = None
+    if with_stats:
+        obs = Observation("bucket_stats")
+        grouped = grouped.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum((n == 1).cast("long")).alias("n_singleton"),
+            F.sum((n > bucket_cap).cast("long")).alias("n_hot"),
+            F.coalesce(F.max(n), F.lit(0)).alias("max_bucket"),
+            F.coalesce(
+                F.round(F.sum(n.cast("double") * (n - 1) / 2.0), 1), F.lit(0.0)
+            ).alias("full_pairing_cost"),
+        )
+    multi = grouped.where(n > 1)
 
-    small = keyed.where(F.col("n") <= bucket_cap).drop("n")
-    hot = keyed.where(F.col("n") > bucket_cap).drop("n")
-
-    # full C(n,2) pairing for small buckets: equi-self-join on (band, bh)
-    a = small.select("band", "bh", F.col(id_col).alias("src"))
-    b = small.select("band", "bh", F.col(id_col).alias("dst"))
-    small_pairs = a.join(b, ["band", "bh"]).where(F.col("src") < F.col("dst"))
-
+    m = F.col("m")
+    full_expr = _pairs_of(m)
     if hot_strategy == "salted":
-        # DESIGN §Skew item 4: per-bucket salt count s = ceil(n/cap), full
-        # pairing within each (band, bh, salt) sub-bucket (~cap members),
-        # chain across sub-bucket minima for connectivity
-        salted = keyed.where(F.col("n") > bucket_cap).select(
-            "band",
-            "bh",
-            F.col(id_col),
-            F.pmod(
-                F.xxhash64(F.col(id_col)), F.ceil(F.col("n") / bucket_cap)
-            ).alias("salt"),
+        n_chunks = F.ceil(n / F.lit(bucket_cap)).cast("int")
+        chunk_pairs = F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda c: _pairs_of(F.slice(m, c * bucket_cap + 1, bucket_cap)),
+            )
         )
-        sa = salted.select("band", "bh", "salt", F.col(id_col).alias("src"))
-        sb = salted.select("band", "bh", "salt", F.col(id_col).alias("dst"))
-        sub_pairs = sa.join(sb, ["band", "bh", "salt"]).where(
-            F.col("src") < F.col("dst")
+        heads = F.transform(
+            F.sequence(F.lit(0), n_chunks - 2),
+            lambda c: F.struct(
+                F.get(m, c * bucket_cap).alias("src"),
+                F.get(m, (c + 1) * bucket_cap).alias("dst"),
+            ),
         )
-        mins = salted.groupBy("band", "bh", "salt").agg(
-            F.min(id_col).alias("m")
-        )
-        wchain = Window.partitionBy("band", "bh").orderBy("salt")
-        cross = (
-            mins.withColumn("nxt", F.lead("m").over(wchain))
-            .where(F.col("nxt").isNotNull())
-            .select(F.col("m").alias("src"), F.col("nxt").alias("dst"))
-        )
-        hot_pairs = sub_pairs.select("src", "dst").unionByName(cross)
+        hot_expr = F.concat(chunk_pairs, heads)
     else:
-        # linear star (to bucket min) + chain (to successor); same
-        # (band, bh) partitioning as the count window -> exchange reuse
-        w = wp.orderBy(id_col)
-        ranked = hot.select(
-            "band",
-            "bh",
-            F.col(id_col),
-            F.min(id_col).over(wp).alias("bmin"),
-            F.lead(id_col).over(w).alias("nxt"),
+        star = F.transform(
+            F.slice(m, 2, n - 1),
+            lambda y: F.struct(F.get(m, 0).alias("src"), y.alias("dst")),
         )
-        star = ranked.where(F.col(id_col) > F.col("bmin")).select(
-            "band", "bh", F.col("bmin").alias("src"), F.col(id_col).alias("dst")
-        )
-        chain = ranked.where(
-            F.col("nxt").isNotNull() & (F.col(id_col) > F.col("bmin"))
-        ).select("band", "bh", F.col(id_col).alias("src"), F.col("nxt").alias("dst"))
-        hot_pairs = star.select("src", "dst").unionByName(chain.select("src", "dst"))
+        # chain over sorted successors, skipping the min (covered by star);
+        # empty-typed fallback via a zero-length slice of star (id type
+    	# agnostic). F.get is 0-based and takes column indices.
+        chain = F.when(
+            n >= 3,
+            F.transform(
+                F.sequence(F.lit(1), n - 2),
+                lambda i: F.struct(
+                    F.get(m, i).alias("src"), F.get(m, i + 1).alias("dst")
+                ),
+            ),
+        ).otherwise(F.slice(star, 1, 0))
+        hot_expr = F.concat(star, chain)
 
+    pair_arr = F.when(n <= bucket_cap, full_expr).otherwise(hot_expr)
     pairs = (
-        small_pairs.select("src", "dst")
-        .unionByName(hot_pairs)
-        .select(
-            F.least("src", "dst").alias("src"),  # canonical edge (O4 analog)
-            F.greatest("src", "dst").alias("dst"),
-        )
+        multi.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
         .distinct()
     )
-    return pairs, bucket_stats
+    return pairs, obs
 
 
 def candidate_pairs_two_table(

@@ -181,20 +181,25 @@ class DedupPipeline:
             keys = band_keys(
                 sigs, bands=cfg.bands, rows_per_band=cfg.rows_per_band
             )
-            t_aux = time.time()
-            n_nonempty = sigs.where(F.col("n_shingles") > 0).count()
-            pairs_df, bucket_stats = candidate_pairs(
-                keys,
-                bucket_cap=cfg.bucket_cap,
-                total_keys=n_nonempty * cfg.bands,
+            pairs_df, bucket_obs = candidate_pairs(
+                keys, bucket_cap=cfg.bucket_cap
             )
-            self.stage_seconds["aux_nonempty_count"] = time.time() - t_aux
+            # the parquet write below is the action that populates the
+            # bucket-stats Observation — no separate stats job runs
             pairs = self._materialize("pairs", pairs_df)
-            t_aux = time.time()
-            stats = bucket_stats.collect()[0].asDict()
+            n_pairs = sum(
+                r["n_rows"] for r in _lineage_rows(self._path("pairs"), "")
+            )
+            if n_pairs > 0:
+                stats = bucket_obs.get
+            else:
+                # zero pairs: AQE empty-relation pruning skipped the
+                # CollectMetrics node — recompute explicitly (tiny input)
+                from .operators.lsh import bucket_stats_job
+
+                stats = bucket_stats_job(keys, cfg.bucket_cap)
             with open(os.path.join(self.workdir, "bucket_stats.json"), "w") as f:
                 json.dump({k: float(v) for k, v in stats.items()}, f)
-            self.stage_seconds["aux_bucket_stats"] = time.time() - t_aux
 
         if _done(self._path("edges")):
             edges = self.spark.read.parquet(self._path("edges"))

@@ -40,11 +40,11 @@ def test_hot_bucket_capped_but_connected(spark):
     texts = {f"d{i:03d}": t for i in range(100)}
     sigs = _sigs(spark, texts)
     keys = band_keys(sigs)
-    pairs, stats = candidate_pairs(keys, bucket_cap=16)
+    pairs, obs = candidate_pairs(keys, bucket_cap=16)
     n = pairs.count()
     # linear, not quadratic: full pairing would be 4950 pairs
     assert n < 400, n
-    st = stats.collect()[0]
+    st = obs.get  # populated by the count action above
     assert st["n_hot"] > 0 and st["max_bucket"] == 100
     # connectivity: union-find over emitted pairs links all 100 docs
     parent = {}
@@ -91,9 +91,14 @@ def test_singleton_buckets_dropped(spark):
     texts = {f"u{i}": f"totally unique document number {i} with words w{i}a w{i}b w{i}c w{i}d w{i}e w{i}f" for i in range(20)}
     sigs = _sigs(spark, texts)
     keys = band_keys(sigs)
+    from name_deduplication_python_spark.operators.lsh import bucket_stats_job
+
     total = keys.count()
-    pairs, stats = candidate_pairs(keys, total_keys=total)
-    st = stats.collect()[0]
+    pairs, obs = candidate_pairs(keys)
+    assert pairs.count() == 0  # all buckets singleton -> no pairs at all
+    # zero-pair plans are AQE-pruned before CollectMetrics (the pipeline
+    # falls back the same way) -> use the explicit stats job
+    st = bucket_stats_job(keys)
     assert st["n_singleton"] > 0
     assert st["n_buckets"] <= total
 

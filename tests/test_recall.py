@@ -122,8 +122,9 @@ def test_recall_survives_hot_bucket_capping(spark):
         seed=cfg["seed"],
     ).cache()
     keys = band_keys(sigs, bands=cfg["bands"], rows_per_band=cfg["rows_per_band"])
-    pairs, stats = candidate_pairs(keys, bucket_cap=4)  # force capped path
-    assert stats.collect()[0]["n_hot"] > 0, "fixture must produce hot buckets"
+    pairs, obs = candidate_pairs(keys, bucket_cap=4)  # force capped path
+    pairs = pairs.localCheckpoint()  # action populates the observation
+    assert obs.get["n_hot"] > 0, "fixture must produce hot buckets"
     edges = verify_stage(
         pairs, sigs, num_hashes=cfg["num_hashes"],
         jaccard_threshold=cfg["jaccard_threshold"],
