@@ -36,7 +36,7 @@ def entry(spark: SparkSession) -> DataFrame:
         docs, num_hashes=C["num_hashes"], shingle_k=C["shingle_k"], seed=C["seed"]
     )
     keys = band_keys(sigs, bands=C["bands"], rows_per_band=C["rows_per_band"])
-    pairs, _ = candidate_pairs(keys, bucket_cap=C["bucket_cap"])
+    pairs, _ = candidate_pairs(keys, bucket_cap=C["bucket_cap"], with_stats=False)
     edges = verify_stage(
         pairs,
         sigs,

@@ -46,25 +46,24 @@ def band_keys(
     bands: int = 25,
     rows_per_band: int = 5,
 ) -> DataFrame:
-    """sigs(id, minhash) -> (id, band, bh) — one row per (doc, band).
+    """sigs(id, minhash) -> (id, bh) — one row per (doc, band).
 
-    Band hash = xxhash64(band, sig[band*r : (band+1)*r]) computed natively.
+    Band hash = xxhash64(band, sig[band*r : (band+1)*r]) computed natively;
+    the band index is INSIDE the hash (a seed), so no separate band column
+    ships through the big shuffle (round-2: 4 bytes/row off the hottest
+    exchange and a single-long group key for the hash aggregate).
     Default 25 bands x 5 rows: P(candidate | J=0.8) = 1-(1-0.8^5)^25 =
     0.99995 >= the 0.99 recall gate (16x8 would give only 0.947).
     """
     cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(F.lit(b), F.slice("minhash", b * rows_per_band + 1, rows_per_band)).alias(
-                "bh"
-            ),
+        F.xxhash64(
+            F.lit(b), F.slice("minhash", b * rows_per_band + 1, rows_per_band)
         )
         for b in range(bands)
     ]
     return (
         sigs.where(F.col("n_shingles") > 0)
-        .select(id_col, F.explode(F.array(*cols)).alias("bk"))
-        .select(id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+        .select(id_col, F.explode(F.array(*cols)).alias("bh"))
     )
 
 
@@ -91,7 +90,7 @@ def bucket_stats_job(keys: DataFrame, bucket_cap: int = 64) -> dict:
     propagation prunes the plan before CollectMetrics executes and the
     Observation never populates (observed on Spark 4.1) — in exactly that
     case this recompute is near-free (tiny input)."""
-    g = keys.groupBy("band", "bh").agg(F.count("*").alias("n"))
+    g = keys.groupBy("bh").agg(F.count("*").alias("n"))
     row = g.agg(
         F.count(F.lit(1)).alias("n_buckets"),
         F.count(F.when(F.col("n") == 1, 1)).alias("n_singleton"),
@@ -112,7 +111,7 @@ def candidate_pairs(
     hot_strategy: str = "star_chain",
     with_stats: bool = True,
 ) -> tuple[DataFrame, Observation | None]:
-    """(id, band, bh) -> canonical candidate pair DataFrame (src < dst),
+    """(id, bh) -> canonical candidate pair DataFrame (src < dst),
     distinct across bands.
 
     Returns (pairs, observation). The observation carries bucket stats
@@ -131,7 +130,7 @@ def candidate_pairs(
         plus a chain across chunk heads reconnects the bucket. Denser
         in-family verification at the same per-row bound.
     """
-    grouped = keys.groupBy("band", "bh").agg(
+    grouped = keys.groupBy("bh").agg(
         F.sort_array(F.collect_list(id_col)).alias("m")
     )
     n = F.size("m")
@@ -174,8 +173,8 @@ def candidate_pairs(
             lambda y: F.struct(F.get(m, 0).alias("src"), y.alias("dst")),
         )
         # chain over sorted successors, skipping the min (covered by star);
-        # empty-typed fallback via a zero-length slice of star (id type
-    	# agnostic). F.get is 0-based and takes column indices.
+        # empty-typed fallback via a zero-length slice of star (id-type
+        # agnostic). F.get is 0-based and takes column indices.
         chain = F.when(
             n >= 3,
             F.transform(
@@ -204,6 +203,6 @@ def candidate_pairs_two_table(
     """Two-relation linkage analog of J3
     (/root/reference/analysis_engine.py:439-449): candidates across two
     corpora sharing a band bucket. No i<j constraint — sides are distinct."""
-    a = keys_a.select("band", "bh", F.col(id_col).alias("src"))
-    b = keys_b.select("band", "bh", F.col(id_col).alias("dst"))
-    return a.join(b, ["band", "bh"]).select("src", "dst").distinct()
+    a = keys_a.select("bh", F.col(id_col).alias("src"))
+    b = keys_b.select("bh", F.col(id_col).alias("dst"))
+    return a.join(b, "bh").select("src", "dst").distinct()

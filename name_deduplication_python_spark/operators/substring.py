@@ -103,8 +103,8 @@ def substring_pairs(
     pairing from the LSH stage by treating (fp) as the band key.
     """
     fps = fingerprint_stage(extracted, id_col, text_col, gram_chars, window)
-    keys = fps.select(id_col, F.lit(0).alias("band"), F.col("fp").alias("bh"))
-    pairs, _ = candidate_pairs(keys, id_col=id_col, bucket_cap=bucket_cap)
+    keys = fps.select(id_col, F.col("fp").alias("bh"))
+    pairs, _ = candidate_pairs(keys, id_col=id_col, bucket_cap=bucket_cap, with_stats=False)
     # count shared fingerprints per pair for ranking/auditing
     a = fps.select(F.col(id_col).alias("src"), "fp")
     b = fps.select(F.col(id_col).alias("dst"), "fp")

@@ -750,7 +750,7 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = DEFAULT_CONFIG
     sigs = _doc_sigs(spark, sf_dir)
     keys = band_keys(sigs, bands=c["bands"], rows_per_band=c["rows_per_band"])
-    pairs, _ = candidate_pairs(keys, bucket_cap=c["bucket_cap"])
+    pairs, _ = candidate_pairs(keys, bucket_cap=c["bucket_cap"], with_stats=False)
     scored = verify_stage(
         pairs,
         sigs,

@@ -78,7 +78,7 @@ class IncrementalDedup:
         ).localCheckpoint()
 
         # new-vs-new self-join
-        pairs, _ = candidate_pairs(new_keys, bucket_cap=c["bucket_cap"])
+        pairs, _ = candidate_pairs(new_keys, bucket_cap=c["bucket_cap"], with_stats=False)
         all_sigs = new_sigs
         old_keys = self._read_store("band_keys")
         if old_keys is not None:
