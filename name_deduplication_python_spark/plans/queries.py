@@ -879,6 +879,17 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(emb, k=5, query_filter=F.col("vec_id") < 10)
 
 
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH embedding near-dup pairs (scale path of
+    embedding_similar_pairs; candidates from shared buckets only, exact
+    cosine verify — rows-only, approximate by design; planted-neighbor
+    recall is pytest-gated in tests/test_ann_multimodal.py)."""
+    from ..operators.ann import embedding_near_dup_pairs
+
+    # 0.35 matches the brute-force oracle query's threshold on this data
+    return embedding_near_dup_pairs(_emb(spark, sf_dir), cos_threshold=0.35)
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "token_jaccard_pairs": q_token_jaccard_pairs,
@@ -905,6 +916,7 @@ QUERIES = {
     "parts_multi_supplier": q_parts_multi_supplier,
     "substring_pairs": q_substring_pairs,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
 }
 
 ORACLES = {
