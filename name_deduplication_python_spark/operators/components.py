@@ -62,41 +62,63 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
 
 
 def _cc_single_task(edges: DataFrame) -> DataFrame:
-    """Small-graph fast path: one grouped-map task runs union-find over the
-    whole (small) edge set. Exactly the same min-label semantics as the
+    """Small-graph fast path: one grouped-map task labels the whole
+    (small) edge set. Exactly the same min-label semantics as the
     iterative path; used only below ``small_graph_threshold`` edges, where
     iteration scheduling latency would dominate (each large/small-star
     round is ~3 tiny jobs — pure overhead on a graph that fits in one
-    task). At 10^12-doc scale the iterative path runs."""
+    task). At 10^12-doc scale the iterative path runs.
+
+    The kernel is VECTORIZED min-label propagation over factorized int
+    ids: label[x] <- min over neighbors until fixpoint, a numpy
+    minimum.at sweep per round, O(E) each, rounds ~ component diameter
+    (dedup families are stars/cliques: 2-4 rounds). The round-2 rewrite
+    replaces a per-edge python union-find loop that serialized ~5 s on
+    700k string edges — the Amdahl tail of the whole pipeline at 4N.
+    Pointer-jumping (label <- label[label]) keeps rounds logarithmic on
+    pathological chains."""
+    import numpy as np
     import pandas as pd
 
     schema = edges.select(
         F.col("src").alias("url"), F.col("src").alias("cluster_id")
     ).schema
 
-    def uf(pdf: pd.Series | "pd.DataFrame") -> "pd.DataFrame":
-        parent: dict = {}
-
-        def find(x):
-            while parent.setdefault(x, x) != x:
-                parent[x] = parent[parent[x]]
-                x = parent[x]
-            return x
-
-        for a, b in zip(pdf["src"], pdf["dst"]):
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                parent[max(ra, rb)] = min(ra, rb)
-        nodes = list(parent)
-        return pd.DataFrame({"url": nodes, "cluster_id": [find(n) for n in nodes]})
+    def cc(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if len(pdf) == 0:
+            return pd.DataFrame({"url": [], "cluster_id": []})
+        codes, uniques = pd.factorize(
+            pd.concat([pdf["src"], pdf["dst"]], ignore_index=True), sort=True
+        )
+        n = len(uniques)
+        e = len(pdf)
+        s, d = codes[:e].astype(np.int64), codes[e:].astype(np.int64)
+        # sorted uniques: label = index order == lexicographic min semantics
+        label = np.arange(n, dtype=np.int64)
+        while True:
+            prev = label.copy()
+            # pull the smaller label across each edge, both directions
+            ls, ld = label[s], label[d]
+            m = np.minimum(ls, ld)
+            np.minimum.at(label, s, m)
+            np.minimum.at(label, d, m)
+            # pointer jumping: labels are node indices, so chase them
+            label = np.minimum(label, label[label])
+            if np.array_equal(label, prev):
+                break
+        # converge labels fully (label of the label)
+        while True:
+            nxt = label[label]
+            if np.array_equal(nxt, label):
+                break
+            label = nxt
+        return pd.DataFrame({"url": uniques, "cluster_id": uniques[label]})
 
     return (
         edges.select("src", "dst")
         .coalesce(1)
         .groupBy(F.lit(1).alias("_g"))
-        .applyInPandas(
-            lambda pdf: uf(pdf), schema=schema
-        )
+        .applyInPandas(lambda pdf: cc(pdf), schema=schema)
     )
 
 
