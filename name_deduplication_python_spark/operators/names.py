@@ -240,6 +240,25 @@ def normalize_city_expr(col) -> "F.Column":
     return F.coalesce(special_map[c], c)
 
 
+def display_name_expr(col) -> "F.Column":
+    """C3 presentation form (/root/reference/data_utils.py:54-60): comma
+    to space, whitespace collapse, numeric-float collapse (``1990.0`` ->
+    ``1990``), then per-word Capitalize with the ``Ma.`` exception kept
+    verbatim. The ENGINE canon stays lowercase (normalize_records); this
+    is the report-facing formatter."""
+    c = F.trim(F.regexp_replace(F.regexp_replace(col, ",", " "), r"\s+", " "))
+    # "1990.0" -> "1990" (the reference's float->int collapse)
+    c = F.when(c.rlike(r"^\d+\.0+$"), F.regexp_replace(c, r"\.0+$", "")).otherwise(c)
+    word = (
+        lambda w: F.when(F.lower(w) == "ma.", F.lit("Ma.")).otherwise(  # noqa: E731
+            F.concat(F.upper(F.substring(w, 1, 1)), F.lower(F.substring(w, 2, 2147483647)))
+        )
+    )
+    return F.array_join(
+        F.transform(F.split(c, " "), word), " "
+    )
+
+
 def normalize_records(df: DataFrame) -> DataFrame:
     """Apply the reference's per-row canonicalization once (the
     _precompute_dataframe analog): cleaned/standardized match features."""

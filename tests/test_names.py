@@ -529,3 +529,16 @@ def test_link_tables_multi_pass(spark):
     assert got.get(("user_2", "official_1")) == ("user_official", "Fuzzy Match")
     # ...but the SAME record in the master pool (no lenient tier) does not
     assert ("user_2", "master_2") not in got
+
+
+def test_display_name_expr(spark):
+    """C3 presentation formatter (data_utils.py:54-60): capitalize words,
+    keep 'Ma.' verbatim, collapse commas/whitespace and float-ints."""
+    from name_deduplication_python_spark.operators.names import display_name_expr
+
+    df = spark.createDataFrame(
+        [("ma. luisa  reyes",), ("JOSE,SANTOS",), ("1990.0",), ("dela cruz",)],
+        "v string",
+    )
+    got = [r.d for r in df.select(display_name_expr(__import__('pyspark.sql.functions', fromlist=['col']).col("v")).alias("d")).collect()]
+    assert got == ["Ma. Luisa Reyes", "Jose Santos", "1990", "Dela Cruz"]
