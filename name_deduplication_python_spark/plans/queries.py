@@ -212,6 +212,36 @@ FROM documents
 """
 
 # --------------------------------------------------------------------------
+# 5b. bpe_token_stats — subword-ish token counting (task-brief training-
+#     pipeline op: "whitespace + a BPE-ish regex"). The BPE-ish tokenizer
+#     is a closed ASCII regex (letter runs | digit runs | single
+#     non-alnum) so Java regex and DuckDB RE2 agree exactly.
+# --------------------------------------------------------------------------
+
+_BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_bpe = F.size(F.expr(f"regexp_extract_all(text, '{_BPE_RE}', 0)"))
+    n_ws = F.size(F.expr(_TOK))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.round(F.col("n_chars") / n_bpe, 4).alias("chars_per_bpe_token"),
+    )
+
+
+SQL_BPE_TOKEN_STATS = f"""
+SELECT doc_id,
+       len(string_split(trim(text), ' ')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '{_BPE_RE}')) AS n_bpe_tokens,
+       round(n_chars / len(regexp_extract_all(text, '{_BPE_RE}')), 4)
+         AS chars_per_bpe_token
+FROM documents
+"""
+
+# --------------------------------------------------------------------------
 # 6. lang_topk — top-5 languages by doc count (A7 top-5-cities analog,
 #    /root/reference/analysis_engine.py:759-766). Deterministic tiebreak.
 # --------------------------------------------------------------------------
@@ -895,6 +925,7 @@ QUERIES = {
     "token_jaccard_pairs": q_token_jaccard_pairs,
     "cc_clusters": q_cc_clusters,
     "token_stats": q_token_stats,
+    "bpe_token_stats": q_bpe_token_stats,
     "quality_scores": q_quality_scores,
     "lang_topk": q_lang_topk,
     "doc_fingerprints": q_doc_fingerprints,
@@ -924,6 +955,7 @@ ORACLES = {
     "token_jaccard_pairs": SQL_TOKEN_JACCARD_PAIRS,
     "cc_clusters": SQL_CC_CLUSTERS,
     "token_stats": SQL_TOKEN_STATS,
+    "bpe_token_stats": SQL_BPE_TOKEN_STATS,
     "quality_scores": SQL_QUALITY_SCORES,
     "lang_topk": SQL_LANG_TOPK,
     "doc_fingerprints": SQL_DOC_FINGERPRINTS,
