@@ -36,12 +36,27 @@ def _cosine_expr(a: str, b: str):
     return dot / (na * nb)
 
 
+def auto_bits_per_table(n_hint: int, target_bucket: int = 64) -> int:
+    """Bucket-width scaling law: with B random-hyperplane bits per table,
+    ~2^B buckets/table, so expected bucket size is n / 2^B. Fixing a
+    target bucket size gives B = ceil(log2(n / target)) — at n=4096
+    (testdata) that's 6 -> floor 8; at n=10^9 it's 24. The round-2 fixed
+    B=8 meant ~4M members/bucket at 10^9 rows and a quadratic
+    within-bucket join; B must grow with log2(n) (clamped to [8, 24]:
+    below 8 buckets are pointlessly coarse even for tiny data, above 24
+    the per-table collision probability for genuinely-similar vectors
+    drops too low for 8 tables to recover)."""
+    import math
+
+    return max(8, min(24, math.ceil(math.log2(max(n_hint, 2) / target_bucket))))
+
+
 def hyperplane_signatures(
     emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    n_bits: int = 64,
+    n_bits: int | None = None,
     n_tables: int = 8,
     bits_per_table: int = 8,
     seed: int = 42,
@@ -50,9 +65,14 @@ def hyperplane_signatures(
 
     Signature bit b = sign(<v, r_b>) with r_b ~ N(0,1) fixed by seed;
     bucket key = packed bits of one table's slice. Whole batch is one
-    numpy matmul (n_docs x dim) @ (dim x n_bits).
+    numpy matmul (n_docs x dim) @ (dim x n_bits). n_bits defaults to
+    n_tables * bits_per_table (disjoint slices, one matmul) — wider
+    tables just mean more hyperplanes; cost grows linearly, not
+    quadratically.
     """
     out_schema = f"{id_col} bigint, table int, bucket bigint"
+    if n_bits is None:
+        n_bits = n_tables * bits_per_table
     assert n_tables * bits_per_table <= n_bits
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -102,17 +122,31 @@ def ann_lsh_topk(
     k: int = 5,
     query_filter=None,
     n_tables: int = 8,
-    bits_per_table: int = 8,
+    bits_per_table: int | None = None,
     seed: int = 42,
     dim: int | None = None,
+    n_hint: int | None = None,
+    bucket_cap: int = 1024,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via hyperplane-LSH buckets.
 
     Candidates = pairs sharing any (table, bucket); exact cosine re-rank
     within candidates only. query_filter: optional Column limiting the
     query side (default: all rows are queries).
+
+    bits_per_table=None auto-scales bucket width from n (n_hint if given,
+    else one count job) — see auto_bits_per_table for the fan-out math.
+    bucket_cap backstops a degenerate hot bucket (e.g. a large family of
+    identical vectors): the CANDIDATE side of each (table, bucket) is
+    truncated to the cap's lowest ids (deterministic), bounding the join
+    at cap * |bucket| rows; queries in the bucket still re-rank exactly
+    within those candidates.
     """
     dim = _vec_dim(emb, vec_col, dim)
+    if bits_per_table is None:
+        bits_per_table = auto_bits_per_table(
+            n_hint if n_hint is not None else emb.count()
+        )
     sigs = hyperplane_signatures(
         emb, id_col, vec_col, dim=dim, n_tables=n_tables,
         bits_per_table=bits_per_table, seed=seed,
@@ -122,10 +156,17 @@ def ann_lsh_topk(
         F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
     )
     q_sigs = sigs if query_filter is None else sigs.where(query_filter)
+    cand_sigs = sigs.select(F.col(id_col).alias("cand_id"), "table", "bucket")
+    if bucket_cap:
+        wb = Window.partitionBy("table", "bucket").orderBy("cand_id")
+        cand_sigs = (
+            cand_sigs.withColumn("_rn", F.row_number().over(wb))
+            .where(F.col("_rn") <= bucket_cap)
+            .drop("_rn")
+        )
     cand = (
         q_sigs.select(F.col(id_col).alias("query_id"), "table", "bucket")
-        .join(sigs.select(F.col(id_col).alias("cand_id"), "table", "bucket"),
-              ["table", "bucket"])
+        .join(cand_sigs, ["table", "bucket"])
         .where(F.col("query_id") != F.col("cand_id"))
         .select("query_id", "cand_id")
         .distinct()
@@ -149,13 +190,28 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     cos_threshold: float = 0.95,
     n_tables: int = 8,
-    bits_per_table: int = 8,
+    bits_per_table: int | None = None,
     seed: int = 42,
     dim: int | None = None,
+    n_hint: int | None = None,
+    bucket_cap: int = 256,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (dedup-tier op): LSH-bucketed
-    candidates, exact cosine verify, canonical (src < dst) edges."""
+    candidates, exact cosine verify, canonical (src < dst) edges.
+
+    bits_per_table=None auto-scales with log2(n) (auto_bits_per_table);
+    candidate generation routes through the MinHash LSH join's skew
+    machinery (operators.lsh.candidate_pairs): singleton buckets dropped
+    in the hash aggregate, buckets above bucket_cap get the salted
+    chunked pairing — a family of identical embeddings stays one
+    connected component at ~cap*n/2 pairs instead of going n^2."""
+    from .lsh import candidate_pairs
+
     dim = _vec_dim(emb, vec_col, dim)
+    if bits_per_table is None:
+        bits_per_table = auto_bits_per_table(
+            n_hint if n_hint is not None else emb.count()
+        )
     sigs = hyperplane_signatures(
         emb, id_col, vec_col, dim=dim, n_tables=n_tables,
         bits_per_table=bits_per_table, seed=seed,
@@ -164,13 +220,13 @@ def embedding_near_dup_pairs(
         F.col(id_col),
         F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
     )
-    cand = (
-        sigs.select(F.col(id_col).alias("src"), "table", "bucket")
-        .join(sigs.select(F.col(id_col).alias("dst"), "table", "bucket"),
-              ["table", "bucket"])
-        .where(F.col("src") < F.col("dst"))
-        .select("src", "dst")
-        .distinct()
+    keys = sigs.select(id_col, F.xxhash64("table", "bucket").alias("bh"))
+    cand, _ = candidate_pairs(
+        keys,
+        id_col=id_col,
+        bucket_cap=bucket_cap,
+        hot_strategy="salted",
+        with_stats=False,
     )
     return (
         cand.join(vecs.select(F.col(id_col).alias("src"), F.col("v").alias("qv")), "src")

@@ -128,14 +128,21 @@ def connected_components(
     checkpoint_every: int = 1,
     small_graph_threshold: int = 2_000_000,
     edge_count_hint: int | None = None,
+    edges_distinct: bool = False,
 ) -> DataFrame:
     """edges(src, dst) -> (url, cluster_id): every node that appears in an
     edge, labeled with the minimum node id of its component.
 
     edge_count_hint: an upper bound on |edges| known by the caller (e.g.
     parquet footer row count) — skips the count-probe job when it already
-    decides the fast path."""
-    cur = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    decides the fast path.
+    edges_distinct: caller guarantees canonical src<dst distinct edges
+    (true for verify-stage output — candidate_pairs dedups) — skips a
+    full-edge-set shuffle; the kernels are duplicate-safe either way, the
+    distinct only bounds the iterative path's per-round row count."""
+    cur = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    if not edges_distinct:
+        cur = cur.distinct()
     if small_graph_threshold:
         # count-only probe decides the path; the fast path then consumes
         # the distinct edges directly (no checkpoint materialization)
@@ -190,6 +197,7 @@ def components_with_singletons(
     id_col: str = "url",
     edge_count_hint: int | None = None,
     ids_unique: bool = False,
+    edges_distinct: bool = False,
 ) -> DataFrame:
     """Assign every id a cluster: edge components get min-id labels,
     untouched ids are their own singleton cluster (reference analog: rows
@@ -198,7 +206,9 @@ def components_with_singletons(
     ids_unique: the caller guarantees all_ids carries one row per id
     (true for pipeline stage outputs keyed by url) — skips the distinct's
     full-table shuffle."""
-    comp = connected_components(edges, edge_count_hint=edge_count_hint)
+    comp = connected_components(
+        edges, edge_count_hint=edge_count_hint, edges_distinct=edges_distinct
+    )
     ids = all_ids.select(F.col(id_col).alias("url"))
     if not ids_unique:
         ids = ids.distinct()

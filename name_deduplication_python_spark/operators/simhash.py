@@ -18,7 +18,7 @@ singleton buckets that the count prefilter drops before the join.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -61,30 +61,51 @@ def simhash_hamming_pairs(
     sim_col: str = "simhash",
     radius: int = 3,
     sig_bits: int = 64,
+    bucket_cap: int = 256,
 ) -> DataFrame:
     """All pairs within Hamming ``radius``: (src, dst, hamming), src < dst.
 
-    Same singleton-bucket prefilter as the MinHash LSH join (a window
-    count on the block key costs one shuffle and drops the web-scale
-    majority of rows before the self-join).
+    Routes the (blk, bv) blocks through the SAME skew machinery as the
+    MinHash LSH join (operators.lsh.candidate_pairs): singleton buckets
+    are dropped by the hash aggregate, buckets <= bucket_cap pair fully
+    (lossless — the pigeonhole guarantee holds verbatim), and buckets
+    ABOVE the cap use the "salted" chunked pairing. Random block-value
+    collisions at ~2^-16 never fill a bucket, but a DUPLICATE FAMILY
+    (boilerplate: thousands of identical simhashes) is not random — the
+    round-2 uncapped self-join went m^2 on exactly that input. Above the
+    cap the emitted pair set is a connected, exactly-verified subset
+    (~cap*n/2 pairs): every emitted pair's hamming is exact, and the family
+    stays one component for CC-style consumers; only the full quadratic
+    pair listing inside a single hot family is intentionally bounded.
+
+    The exact hamming verify joins the (id, simhash) payload back by id —
+    an 8-byte-key hash join, same shape as the MinHash verify stage.
     """
-    keys = simhash_block_keys(sigs, id_col, sim_col, radius, sig_bits)
-    wp = Window.partitionBy("blk", "bv")
-    multi = keys.withColumn("n", F.count("*").over(wp)).where(F.col("n") > 1).drop("n")
-    a = multi.select(
-        "blk", "bv", F.col(id_col).alias("src"), F.col(sim_col).alias("sim_a")
+    from .lsh import candidate_pairs
+
+    # one 64-bit key per (blk, bv): a long groups cheaper than a struct;
+    # xxhash64 collisions across blocks only ADD candidates (the exact
+    # hamming verify below filters them) and are ~2^-64 per bucket pair
+    keys = simhash_block_keys(sigs, id_col, sim_col, radius, sig_bits).select(
+        id_col, F.xxhash64("blk", "bv").alias("bh")
     )
-    b = multi.select(
-        "blk", "bv", F.col(id_col).alias("dst"), F.col(sim_col).alias("sim_b")
+    pairs, _ = candidate_pairs(
+        keys,
+        id_col=id_col,
+        bucket_cap=bucket_cap,
+        hot_strategy="salted",
+        with_stats=False,
     )
+    s = sigs.select(id_col, sim_col)
+    a = s.select(F.col(id_col).alias("src"), F.col(sim_col).alias("sim_a"))
+    b = s.select(F.col(id_col).alias("dst"), F.col(sim_col).alias("sim_b"))
     return (
-        a.join(b, ["blk", "bv"])
-        .where(F.col("src") < F.col("dst"))
+        pairs.join(a, "src")
+        .join(b, "dst")
         .select(
             "src",
             "dst",
             F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"),
         )
         .where(F.col("hamming") <= radius)
-        .distinct()  # a pair may agree on several blocks; hamming is functional in (src,dst)
     )

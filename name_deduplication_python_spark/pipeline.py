@@ -49,6 +49,13 @@ class DedupConfig:
     jaccard_threshold: float = DEFAULT_CONFIG["jaccard_threshold"]
     bucket_cap: int = DEFAULT_CONFIG["bucket_cap"]
     seed: int = DEFAULT_CONFIG["seed"]
+    # fuse_stages trades resume granularity for wall-clock: the five-stage
+    # layout becomes three jobs (extract fused into signatures; the pair
+    # explosion fused into the verify join), removing two full
+    # materialize+rescan round-trips and their job-commit barriers. The
+    # checkpoint/recompute tradeoff is the standard lakehouse knob; results
+    # are identical (same kernels, same plans past the fusion point).
+    fuse_stages: bool = False
     extra: dict = field(default_factory=dict)
 
 
@@ -157,6 +164,8 @@ class DedupPipeline:
 
     def run(self, pages: DataFrame) -> DataFrame:
         cfg = self.cfg
+        if cfg.fuse_stages:
+            return self._run_fused(pages)
         if _done(self._path("extracted")):
             extracted = self.spark.read.parquet(self._path("extracted"))
         else:
@@ -247,6 +256,7 @@ class DedupPipeline:
                     "url",
                     edge_count_hint=n_edges,
                     ids_unique=True,  # stage outputs are keyed by url
+                    edges_distinct=True,  # candidate_pairs already dedups
                 ),
             )
 
@@ -264,6 +274,87 @@ class DedupPipeline:
                     sample_fraction=self.cfg.extra.get("audit_fraction", 0.1),
                     jaccard_threshold=cfg.jaccard_threshold,
                     seed=cfg.seed,
+                ),
+            )
+        return clusters
+
+    def _run_fused(self, pages: DataFrame) -> DataFrame:
+        """Three-job layout (fuse_stages=True):
+
+          1 signatures  extract_stage piped straight into signature_stage —
+                        the text column never hits disk; the ArrowEvalPython
+                        extract node and the mapInArrow signature kernel
+                        pipeline inside one stage.
+          2 edges       band_keys -> candidate_pairs -> verify, one job —
+                        the pair explosion feeds the verify join without a
+                        parquet round-trip; bucket stats still ride the
+                        write action as an Observation.
+          3 clusters    same CC as the five-stage path; all_ids come from
+                        the signatures table (1:1 with pages by url).
+
+        Resume granularity is signatures/edges/clusters instead of all five
+        stages — that is the documented tradeoff.
+        """
+        cfg = self.cfg
+        if _done(self._path("signatures")):
+            sigs = self.spark.read.parquet(self._path("signatures"))
+        else:
+            sigs = self._materialize(
+                "signatures",
+                signature_stage(
+                    extract_stage(pages),
+                    num_hashes=cfg.num_hashes,
+                    shingle_k=cfg.shingle_k,
+                    seed=cfg.seed,
+                ),
+            )
+
+        if _done(self._path("edges")):
+            edges = self.spark.read.parquet(self._path("edges"))
+        else:
+            keys = band_keys(
+                sigs, bands=cfg.bands, rows_per_band=cfg.rows_per_band
+            )
+            pairs_df, bucket_obs = candidate_pairs(
+                keys, bucket_cap=cfg.bucket_cap
+            )
+            edges = self._materialize(
+                "edges",
+                verify_stage(
+                    pairs_df,
+                    sigs,
+                    num_hashes=cfg.num_hashes,
+                    jaccard_threshold=cfg.jaccard_threshold,
+                    simhash_radius=cfg.simhash_radius,
+                ),
+            )
+            n_edges = sum(
+                r["n_rows"] for r in _lineage_rows(self._path("edges"), "")
+            )
+            if n_edges > 0:
+                stats = bucket_obs.get
+            else:
+                from .operators.lsh import bucket_stats_job
+
+                stats = bucket_stats_job(keys, cfg.bucket_cap)
+            with open(os.path.join(self.workdir, "bucket_stats.json"), "w") as f:
+                json.dump({k: float(v) for k, v in stats.items()}, f)
+
+        if _done(self._path("clusters")):
+            clusters = self.spark.read.parquet(self._path("clusters"))
+        else:
+            n_edges = sum(
+                r["n_rows"] for r in _lineage_rows(self._path("edges"), "")
+            )
+            clusters = self._materialize(
+                "clusters",
+                components_with_singletons(
+                    edges.select("src", "dst"),
+                    sigs,
+                    "url",
+                    edge_count_hint=n_edges,
+                    ids_unique=True,
+                    edges_distinct=True,  # candidate_pairs already dedups
                 ),
             )
         return clusters

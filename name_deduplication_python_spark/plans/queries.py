@@ -847,8 +847,14 @@ def q_simhash_hamming_pairs_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
     sigs = per_doc.select("doc_id", sim.cast("bigint").alias("simhash"))
+    # the DuckDB oracle brute-forces ALL pairs within radius, so this
+    # correctness query must stay lossless: cap high enough that no sf0.01
+    # bucket can reach it (the engine default 256 is the scale setting)
     out = simhash_hamming_pairs(
-        sigs, radius=_SIMHASH_SQL_RADIUS, sig_bits=_SIMHASH_SQL_BITS
+        sigs,
+        radius=_SIMHASH_SQL_RADIUS,
+        sig_bits=_SIMHASH_SQL_BITS,
+        bucket_cap=1_000_000,
     )
     return out.select("src", "dst", F.col("hamming").cast("int").alias("hamming"))
 

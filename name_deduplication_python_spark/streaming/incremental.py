@@ -42,6 +42,22 @@ class IncrementalDedup:
         os.makedirs(os.path.join(store_dir, "band_keys"), exist_ok=True)
         os.makedirs(os.path.join(store_dir, "edges"), exist_ok=True)
 
+    @staticmethod
+    def _pruned_store_sigs(old_sigs: DataFrame, pairs: DataFrame) -> DataFrame:
+        """Store signatures restricted to docs appearing in this epoch's
+        candidate pairs. Cross pairs carry store docs on the dst side only
+        (candidate_pairs_two_table puts new on src), but the semi-join is
+        run over BOTH sides so the pruning stays correct if a caller feeds
+        symmetric pairs; ids are 8-byte keys, payloads shuffle only for
+        touched docs. Round-2 shipped the WHOLE store's 512 B payloads into
+        the verify join every micro-batch — O(corpus) per epoch."""
+        touched = (
+            pairs.select(F.col("src").alias("url"))
+            .union(pairs.select(F.col("dst").alias("url")))
+            .distinct()
+        )
+        return old_sigs.join(touched, "url", "left_semi").drop("epoch")
+
     def _read_store(self, sub: str) -> DataFrame | None:
         path = os.path.join(self.store, sub)
         try:
@@ -60,6 +76,19 @@ class IncrementalDedup:
         whole corpus per epoch. Now historical epochs are written once and
         only scanned (columnar, 3 narrow columns); per-epoch compute is
         O(batch + matched buckets).
+
+        Replay exactness: all store reads are filtered to ``epoch <
+        epoch_id``. A crash after the band_keys/epoch=N write but before
+        the signatures write (the idempotence marker) leaves partial
+        epoch-N files in the store; an unfiltered replay of epoch N would
+        read its OWN keys back and cross-join the batch against itself
+        (self-edges + duplicated intra-batch pairs). The filter makes the
+        replay read exactly what the first attempt read.
+
+        Verify-side pruning: the store's 512 B minhash payloads are pulled
+        ONLY for docs that actually appear in this epoch's candidate pairs
+        (a semi-join on the 8-byte ids) — per-epoch shuffle cost is
+        O(batch + touched docs), not O(corpus). See _pruned_store_sigs.
         """
         c = self.cfg
         sig_epoch = os.path.join(self.store, "signatures", f"epoch={epoch_id}")
@@ -82,10 +111,18 @@ class IncrementalDedup:
         all_sigs = new_sigs
         old_keys = self._read_store("band_keys")
         if old_keys is not None:
+            old_keys = old_keys.where(F.col("epoch") < epoch_id)
             cross = candidate_pairs_two_table(new_keys, old_keys)
             pairs = pairs.unionByName(cross).distinct()
-            old_sigs = self._read_store("signatures")
-            all_sigs = new_sigs.unionByName(old_sigs.drop("epoch"))
+            # pairs are reused twice (touched-id semi-join + verify) and are
+            # O(batch): checkpoint so the candidate join runs once
+            pairs = pairs.localCheckpoint()
+            old_sigs = self._read_store("signatures").where(
+                F.col("epoch") < epoch_id
+            )
+            all_sigs = new_sigs.unionByName(
+                self._pruned_store_sigs(old_sigs, pairs)
+            )
 
         edges = verify_stage(
             pairs,

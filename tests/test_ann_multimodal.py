@@ -61,6 +61,74 @@ def test_ann_lsh_topk_finds_planted_neighbor(spark, emb_df):
         assert top.iloc[0]["cand_id"] == 100 + i, top
 
 
+def test_auto_bits_per_table_scaling_law(spark):
+    from name_deduplication_python_spark.operators.ann import auto_bits_per_table
+
+    assert auto_bits_per_table(4_096) == 8          # tiny data: floor
+    assert auto_bits_per_table(1_000_000) == 14     # 1M / 64 ~ 2^14
+    assert auto_bits_per_table(10**9) == 24         # 1e9 / 64 -> clamp 24
+    assert auto_bits_per_table(10**12) == 24        # ceiling holds
+
+
+@pytest.mark.parametrize("n_extra", [0, 400])
+def test_planted_neighbors_found_with_auto_bits(spark, n_extra):
+    """VERDICT r2 #6 done-condition: planted-neighbor recall with
+    AUTO-chosen bits at two corpus sizes (25 and 425 vectors)."""
+    rng = np.random.default_rng(13)
+    dim = 24
+    base = rng.standard_normal((20 + n_extra, dim)).astype(np.float32)
+    rows = [(i, base[i].tolist()) for i in range(len(base))]
+    for i in range(5):
+        v = base[i] + rng.standard_normal(dim).astype(np.float32) * 0.01
+        rows.append((10_000 + i, v.tolist()))
+    emb = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"]),
+        "vec_id bigint, embedding array<float>",
+    )
+    n = len(rows)
+    # near-dup path: auto bits via n_hint (no count job), capped buckets
+    got = {
+        (r.src, r.dst)
+        for r in embedding_near_dup_pairs(
+            emb, cos_threshold=0.95, n_hint=n
+        ).collect()
+    }
+    assert {(i, 10_000 + i) for i in range(5)} <= got
+    # top-k path: auto bits via internal count, planted neighbor is rank 1
+    res = ann_lsh_topk(emb, k=3, query_filter="vec_id < 5", n_tables=16).toPandas()
+    for i in range(5):
+        top = res[res.query_id == i].sort_values("rnk")
+        assert len(top) >= 1 and top.iloc[0]["cand_id"] == 10_000 + i
+
+
+def test_ann_bucket_cap_bounds_identical_vector_family(spark):
+    """Degenerate hot bucket: 500 identical embeddings must not produce
+    C(500,2) pairs when capped; the family stays one connected component."""
+    from name_deduplication_python_spark.operators.ann import (
+        embedding_near_dup_pairs as endp,
+    )
+
+    n, cap = 500, 8
+    vec = [1.0, 2.0, 3.0, 4.0]
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(n), "embedding": [vec] * n}),
+        "vec_id bigint, embedding array<float>",
+    )
+    pairs = endp(emb, cos_threshold=0.99, n_hint=n, bucket_cap=cap).collect()
+    assert 0 < len(pairs) < n * n / 4  # far below quadratic
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        parent[find(int(r.src))] = find(int(r.dst))
+    assert len({find(i) for i in range(n)}) == 1
+
+
 @pytest.fixture(scope="module")
 def media_df(spark):
     rows = [

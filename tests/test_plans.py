@@ -127,3 +127,35 @@ def test_simhash_banding_equals_bruteforce(spark):
     }
     assert banded == brute
     assert brute, "fixture must contain at least one near pair"
+
+
+def test_simhash_hot_block_is_capped_and_connected(spark):
+    """A boilerplate family of IDENTICAL simhashes (the non-random hot
+    bucket the 2^-16 random-collision argument does not cover) must not go
+    m^2: above bucket_cap the pair count is bounded ~cap*n/2, every emitted
+    pair is exactly verified (hamming 0 here), and the family remains ONE
+    connected component."""
+    from name_deduplication_python_spark.operators.simhash import (
+        simhash_hamming_pairs,
+    )
+
+    n, cap = 1000, 16
+    sigs = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit(-4242424242424242).alias("simhash")
+    )
+    pairs = simhash_hamming_pairs(sigs, radius=3, bucket_cap=cap).collect()
+    assert all(r.hamming == 0 for r in pairs)
+    # salted chunking: <= n/cap chunks * C(cap,2) + chains, far below C(n,2)
+    assert 0 < len(pairs) <= n * cap  # vs C(1000,2) = 499500 uncapped
+    # connectivity: union-find over emitted pairs -> single component
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        parent[find(int(r.src))] = find(int(r.dst))
+    assert len({find(i) for i in range(n)}) == 1

@@ -123,6 +123,70 @@ def test_epoch_replay_is_idempotent(spark, tmp_path):
     assert inc.edges().count() == n1
 
 
+def test_crash_replay_after_partial_epoch_write_is_exact(spark, tmp_path):
+    """Crash window: band_keys/epoch=N written, signatures/epoch=N not
+    (the idempotence marker). The replay must read ONLY epoch < N store
+    state — an unfiltered read would cross-join the batch against its own
+    keys, emitting self-edges (src==dst) and duplicate intra-batch pairs."""
+    import shutil
+
+    pages, _ = generate_corpus(n_base=40, seed=27)
+    df = corpus_to_spark(spark, pages).cache()
+    urls = sorted(pages["url"])
+    half = set(urls[: len(urls) // 2])
+    store = str(tmp_path / "store")
+    inc = IncrementalDedup(spark, store)
+    inc.process_batch(df.where(df.url.isin(list(half))), 0)
+    inc.process_batch(df.where(~df.url.isin(list(half))), 1)
+    clean = {
+        (r.src, r.dst, r.status)
+        for r in inc.edges().select("src", "dst", "status").collect()
+    }
+    assert all(s != d for s, d, _ in clean)
+
+    # simulate the crash: epoch-1 signatures (marker) gone, band keys left
+    shutil.rmtree(os.path.join(store, "signatures", "epoch=1"))
+    inc.process_batch(df.where(~df.url.isin(list(half))), 1)  # replay
+    replayed = {
+        (r.src, r.dst, r.status)
+        for r in inc.edges().select("src", "dst", "status").collect()
+    }
+    assert replayed == clean  # no self-edges, no duplicates, same edges
+
+
+def test_store_verify_join_is_pruned_to_touched_docs(spark, tmp_path):
+    """Per-epoch verify cost must be O(batch + touched docs), not
+    O(corpus): the signature store feeds the verify join only for ids
+    that appear in this epoch's candidate pairs (semi-join prune)."""
+    from pyspark.sql import functions as F
+
+    pages, _ = generate_corpus(n_base=60, seed=29)
+    df = corpus_to_spark(spark, pages).cache()
+    urls = sorted(pages["url"])
+    half = set(urls[: len(urls) // 2])
+    store = str(tmp_path / "store")
+    inc = IncrementalDedup(spark, store)
+    inc.process_batch(df.where(df.url.isin(list(half))), 0)
+
+    old_sigs = spark.read.parquet(os.path.join(store, "signatures"))
+    n_store = old_sigs.count()
+    # a synthetic pair set touching exactly 2 store docs
+    touched = urls[0], urls[2]
+    pairs = spark.createDataFrame(
+        [("new-doc-a", touched[0]), ("new-doc-b", touched[1])], ["src", "dst"]
+    )
+    pruned = IncrementalDedup._pruned_store_sigs(old_sigs, pairs)
+    assert pruned.count() == 2 < n_store
+    got = {r.url for r in pruned.select("url").collect()}
+    assert got == set(touched)
+    # and the pruned frame carries full signature payloads
+    assert {"url", "minhash", "simhash"} <= set(pruned.columns)
+    # empty pairs -> zero store rows shuffle
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert IncrementalDedup._pruned_store_sigs(old_sigs, empty).count() == 0
+    _ = F  # keep import local to the test's intent
+
+
 def test_streaming_end_to_end_available_now(spark, tmp_path):
     pages, _ = generate_corpus(n_base=40, seed=23)
     src = str(tmp_path / "src")
