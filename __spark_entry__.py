@@ -4,8 +4,12 @@ entry(spark)  — flagship near-dup clustering over sf0.001 documents.
 queries()     — operator inventory per SURVEY.md §2 (see
                 name_deduplication_python_spark/plans/queries.py; each
                 query documents its reference-operator analog).
-oracle_sql()  — DuckDB-runnable ANSI SQL for every SQL-expressible query
-                (engine-config MinHash/SimHash ops are rows-only checks).
+oracle_sql()  — DuckDB-runnable ANSI SQL for every SQL-expressible query.
+                26/27 queries carry one; the only rows-only check is
+                simhash_near_pairs (its kernel 64-bit simhash is not
+                SQL-reproducible — banding==bruteforce equality is
+                pytest-gated, and its SQL-expressible twin
+                simhash_hamming_pairs_sql value-hash-checks the family).
 """
 
 from __future__ import annotations

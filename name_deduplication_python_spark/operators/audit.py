@@ -218,3 +218,53 @@ def audit_name_pairs(
             F.explode(F.filter(issues, lambda x: x.isNotNull())).alias("issue"),
         )
     )
+
+
+def expand_group_pairs(
+    clusters: DataFrame, id_col: str = "rid", cluster_col: str = "cluster_id"
+) -> DataFrame:
+    """R5: ALL unordered member pairs within each final report group
+    (reference re-expands every user x reference pair inside each group,
+    /root/reference/auditor.py:306-347) — including transitively-merged
+    pairs that no scorer ever saw, which are exactly the pairs most worth
+    auditing. Groups are entity families (small by construction), so the
+    same native collect_list + conditional-array pairing as the LSH join
+    applies; a pathological mega-group is bounded by the lsh bucket-cap
+    machinery upstream, not here."""
+    from .lsh import _pairs_of
+
+    g = (
+        clusters.groupBy(cluster_col)
+        .agg(F.sort_array(F.collect_list(id_col)).alias("m"))
+        .where(F.size("m") > 1)
+    )
+    return g.select(F.explode(_pairs_of(F.col("m"))).alias("p")).select(
+        F.col("p.src").alias("src"), F.col("p.dst").alias("dst")
+    )
+
+
+def audit_report_groups(
+    clusters: DataFrame,
+    feats: DataFrame,
+    edges: DataFrame | None = None,
+    id_col: str = "rid",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """R5 group-expansion audit: run audit_name_pairs over EVERY pair
+    inside each final group, not just emitted edges. Pairs with no scored
+    edge carry status 'Transitive (unscored)' — the R4 remark-consistency
+    rules don't apply to them (no remark exists), but every R1/R2/R3
+    field/floor rule does. edges: the scored edge set (src, dst, status);
+    None audits all pairs as unscored."""
+    pairs = expand_group_pairs(clusters, id_col=id_col, cluster_col=cluster_col)
+    if edges is not None:
+        e = edges.select("src", "dst", "status")
+        # canonical src<dst on both sides by construction (sorted arrays
+        # in expansion; scorer emits i<j) — a plain left join tags pairs
+        pairs = pairs.join(e, ["src", "dst"], "left")
+    else:
+        pairs = pairs.withColumn("status", F.lit(None).cast("string"))
+    pairs = pairs.withColumn(
+        "status", F.coalesce("status", F.lit("Transitive (unscored)"))
+    )
+    return audit_name_pairs(pairs, feats, id_col=id_col)

@@ -28,6 +28,7 @@ def score_pairs(
     sigs: DataFrame,
     id_col: str = "url",
     num_hashes: int = 128,
+    label_col: str | None = None,
 ) -> DataFrame:
     """pairs(src,dst) x sigs(id,minhash,simhash) -> scored pairs.
 
@@ -36,24 +37,35 @@ def score_pairs(
     no downstream order). The shuffle-hash hint keeps it a hash join
     (measured: 11.6 s -> 9.3 s at local[8] on 1.36M docs); per-partition
     hash tables stay bounded via shuffle partition count.
+
+    label_col: when the pairs are keyed by a COMPACT surrogate id (e.g.
+    xxhash64(url) — 8-byte join/shuffle keys instead of full url strings),
+    the output src/dst are relabeled to this signature column, so the
+    surrogate never escapes the stage.
     """
     sigs = sigs.hint("shuffle_hash")
+    lbl = [F.col(label_col).alias("src_lbl")] if label_col else []
     a = sigs.select(
         F.col(id_col).alias("src"),
+        *lbl,
         F.col("minhash").alias("mh_a"),
         F.col("simhash").alias("sh_a"),
     )
+    lbl = [F.col(label_col).alias("dst_lbl")] if label_col else []
     b = sigs.select(
         F.col(id_col).alias("dst"),
+        *lbl,
         F.col("minhash").alias("mh_b"),
         F.col("simhash").alias("sh_b"),
     )
+    out_src = F.col("src_lbl").alias("src") if label_col else F.col("src")
+    out_dst = F.col("dst_lbl").alias("dst") if label_col else F.col("dst")
     scored = (
         pairs.join(a, "src")
         .join(b, "dst")
         .select(
-            "src",
-            "dst",
+            out_src,
+            out_dst,
             (
                 F.aggregate(
                     F.zip_with("mh_a", "mh_b", lambda x, y: (x == y).cast("int")),
@@ -119,9 +131,12 @@ def verify_stage(
     jaccard_threshold: float = 0.80,
     simhash_radius: int = 3,
     estimator_z: float = 2.33,
+    label_col: str | None = None,
 ) -> DataFrame:
     return classify_pairs(
-        score_pairs(pairs, sigs, id_col=id_col, num_hashes=num_hashes),
+        score_pairs(
+            pairs, sigs, id_col=id_col, num_hashes=num_hashes, label_col=label_col
+        ),
         jaccard_threshold=jaccard_threshold,
         simhash_radius=simhash_radius,
         num_hashes=num_hashes,

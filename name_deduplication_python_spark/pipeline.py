@@ -12,8 +12,9 @@ n_rows) plus stage wall-clock, written to <workdir>/metrics.
 Stages:
   1 extracted   url, warc_ts, text, lang         (byte-deterministic)
   2 signatures  url, minhash[128], simhash, n_shingles
-  3 pairs       src, dst                         (LSH band candidates)
-  4 edges       src, dst, est_jaccard, hamming, status (verified)
+  3 pairs       src, dst (surrogate uid = xxhash64(url); 8-byte shuffle
+                keys — see run() comment)                (LSH candidates)
+  4 edges       src, dst (urls), est_jaccard, hamming, status (verified)
   5 clusters    url, cluster_id                  (CC over edges, min-url label)
 
 On a real cluster the work dir is an object-store path and the tables
@@ -184,14 +185,23 @@ class DedupPipeline:
                 ),
             )
 
+        # band/candidate/verify run on an 8-byte surrogate uid =
+        # xxhash64(url) instead of full url strings: the band explode
+        # ships 25 rows/doc through the hottest shuffle, so key width is
+        # shuffle bytes x25 (measured ~40% of that exchange); the verify
+        # join relabels back to urls before anything is persisted as
+        # edges. Collision odds are n^2/2^65 (~5e-8 at 1.36M docs); a
+        # 10^12-doc deployment widens this to 128 bits (two seeded
+        # xxhash64 columns) — same plan shape.
+        sigs_u = sigs.withColumn("uid", F.xxhash64("url"))
         if _done(self._path("pairs")):
             pairs = self.spark.read.parquet(self._path("pairs"))
         else:
             keys = band_keys(
-                sigs, bands=cfg.bands, rows_per_band=cfg.rows_per_band
+                sigs_u, id_col="uid", bands=cfg.bands, rows_per_band=cfg.rows_per_band
             )
             pairs_df, bucket_obs = candidate_pairs(
-                keys, bucket_cap=cfg.bucket_cap
+                keys, id_col="uid", bucket_cap=cfg.bucket_cap
             )
             # the parquet write below is the action that populates the
             # bucket-stats Observation — no separate stats job runs
@@ -217,7 +227,9 @@ class DedupPipeline:
                 "edges",
                 verify_stage(
                     pairs,
-                    sigs,
+                    sigs_u,
+                    id_col="uid",
+                    label_col="url",
                     num_hashes=cfg.num_hashes,
                     jaccard_threshold=cfg.jaccard_threshold,
                     simhash_radius=cfg.simhash_radius,
@@ -312,17 +324,22 @@ class DedupPipeline:
         if _done(self._path("edges")):
             edges = self.spark.read.parquet(self._path("edges"))
         else:
+            # same 8-byte surrogate-uid keying as the staged path (see
+            # run() comment); urls re-enter via the verify join relabel
+            sigs_u = sigs.withColumn("uid", F.xxhash64("url"))
             keys = band_keys(
-                sigs, bands=cfg.bands, rows_per_band=cfg.rows_per_band
+                sigs_u, id_col="uid", bands=cfg.bands, rows_per_band=cfg.rows_per_band
             )
             pairs_df, bucket_obs = candidate_pairs(
-                keys, bucket_cap=cfg.bucket_cap
+                keys, id_col="uid", bucket_cap=cfg.bucket_cap
             )
             edges = self._materialize(
                 "edges",
                 verify_stage(
                     pairs_df,
-                    sigs,
+                    sigs_u,
+                    id_col="uid",
+                    label_col="url",
                     num_hashes=cfg.num_hashes,
                     jaccard_threshold=cfg.jaccard_threshold,
                     simhash_radius=cfg.simhash_radius,

@@ -21,7 +21,6 @@ from ..operators.lsh import band_keys, candidate_pairs
 from ..operators.signatures import signature_stage
 from ..operators.setsim import set_similarity_join
 from ..operators.simhash import simhash_hamming_pairs
-from ..operators.verify import verify_stage
 
 # Spark tokenization: split on single spaces after trim (testdata texts are
 # single-spaced); the oracle uses the same contract.
@@ -776,25 +775,92 @@ def _doc_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# exact k-shingle Jaccard config for the driver-checked LSH query: at
+# J=0.8 with 25 bands x 5 rows, P(pair escapes banding) = (1-0.8^5)^25
+# ~= 5e-5 per pair — the DuckDB brute-force oracle therefore matches the
+# banded+exact-verified output (a miss would be a sub-1e-3 tail event on
+# this corpus, and the banding parameters exist to make it so).
+_SHINGLE_K = 5
+_SHINGLE_THETA = 0.8
+_SHINGLE_SEP = "\x01"
+
+
+def _shingle_sets(docs: DataFrame, k: int = _SHINGLE_K) -> DataFrame:
+    """(doc_id, shingles array<string>): distinct k-token shingles joined
+    by a separator; docs with < k tokens contribute ONE whole-doc shingle
+    (mirrored exactly by the SQL oracle)."""
+    t = F.expr(_TOK)
+    sh = F.when(
+        F.size(t) < k, F.array(F.concat_ws(_SHINGLE_SEP, t))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - k + 1),
+            lambda i: F.concat_ws(_SHINGLE_SEP, F.slice(t, i, k)),
+        )
+    )
+    return docs.select("doc_id", F.array_distinct(sh).alias("sh"))
+
+
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs, EXACT-verified at k-shingle Jaccard >=
+    theta: banding (the engine's real signature kernel + band hashing)
+    proposes, the exact shingle-set Jaccard — SQL-expressible — disposes.
+    Output (src, dst, jaccard) equals the brute-force shingle-Jaccard join
+    whenever banding recall is 1.0, which 25x5 banding guarantees to
+    ~5e-5/pair at theta=0.8 — so the driver gets a full value-hash check
+    of the LSH spine (round-2 this was rows-only)."""
     c = DEFAULT_CONFIG
     sigs = _doc_sigs(spark, sf_dir)
     keys = band_keys(sigs, bands=c["bands"], rows_per_band=c["rows_per_band"])
     pairs, _ = candidate_pairs(keys, bucket_cap=c["bucket_cap"], with_stats=False)
-    scored = verify_stage(
-        pairs,
-        sigs,
-        num_hashes=c["num_hashes"],
-        jaccard_threshold=0.3,  # permissive: report candidates with estimates
-        simhash_radius=c["simhash_radius"],
+    # candidate_pairs canonicalized by STRING url order ("245" < "8");
+    # re-canonicalize numerically to match the oracle's a.doc_id < b.doc_id
+    s, d = F.col("src").cast("bigint"), F.col("dst").cast("bigint")
+    pairs = pairs.select(
+        F.least(s, d).alias("src"), F.greatest(s, d).alias("dst")
     )
-    return scored.select(
-        F.col("src").cast("bigint").alias("src"),
-        F.col("dst").cast("bigint").alias("dst"),
-        "est_jaccard",
-        "hamming",
-        "status",
+    sh = _shingle_sets(_docs(spark, sf_dir))
+    a = sh.select(F.col("doc_id").alias("src"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("dst"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = F.round(
+        inter.cast("double")
+        / (F.size("sh_a") + F.size("sh_b") - inter).cast("double"),
+        6,
     )
+    return (
+        pairs.join(a, "src")
+        .join(b, "dst")
+        .select("src", "dst", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= _SHINGLE_THETA)
+    )
+
+
+SQL_MINHASH_LSH_PAIRS = f"""
+WITH t AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(toks) < {_SHINGLE_K}
+         THEN [array_to_string(toks, chr(1))]
+         ELSE [array_to_string(toks[i:i+{_SHINGLE_K - 1}], chr(1))
+               FOR i IN range(1, len(toks) - {_SHINGLE_K} + 2)]
+    END)) AS s
+  FROM t
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT src, dst,
+       round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = src
+JOIN sizes sb ON sb.doc_id = dst
+WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= {_SHINGLE_THETA}
+"""
 
 
 def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -803,9 +869,12 @@ def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact bit_count verify) — no cartesian product at any scale. The
     round-1 version crossJoined all documents at radius 16; radius 16
     banding needs 17 near-empty blocks (quadratic again), so the query now
-    matches the engine config it feeds. Rows-only driver check (the
-    signature comes from the pandas-UDF kernel); exact equivalence to the
-    brute-force all-pairs form is pytest-proven (tests/test_plans.py)."""
+    matches the engine config it feeds. The ONLY remaining rows-only
+    driver check (the 64-bit signature comes from the mapInArrow kernel —
+    not SQL-reproducible): exact equivalence to the brute-force all-pairs
+    form is pytest-proven (tests/test_plans.py), and the SQL-expressible
+    twin simhash_hamming_pairs_sql value-hash-checks the banding+verify
+    logic for the family."""
     sigs = _doc_sigs(spark, sf_dir).select(
         F.col("url").cast("bigint").alias("doc_id"), "simhash"
     )
@@ -890,40 +959,192 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_SQL_RADIUS}
 SQL_SIMHASH_HAMMING_PAIRS = _simhash_sql_oracle()
 
 
-def q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing long-repeat pairs over documents (suffix-array-analog
-    substring pass; rows-only check — hash selection isn't ANSI SQL)."""
-    from ..operators.substring import substring_pairs
+# md5-based winnowing config for the driver-checked substring query: both
+# engines share the gram hash exactly (Spark conv(substr(md5,1,15),16,10)
+# == DuckDB ('0x'||substr(md5,1,15))::BIGINT — the simhash_sql trick), so
+# the whole winnowing selection (min hash per sliding window, SIGMOD'03)
+# is SQL-expressible and the driver gets a full value-hash check. The
+# engine's xxhash winnowing operator (operators/substring.py) keeps its
+# pytest guarantee tests; this query exercises the identical algorithm.
+_WIN_G = 32   # gram chars
+_WIN_W = 16   # window (grams)
+_WIN_MIN_SHARED = 2
 
-    docs = _docs(spark, sf_dir).select(
-        F.col("doc_id").cast("string").alias("url"), "text"
+
+def q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing long-repeat pairs over documents: every window of
+    _WIN_W consecutive _WIN_G-char gram hashes contributes its minimum as
+    a fingerprint (guarantee: any shared substring of length >=
+    G + W - 1 = 47 chars shares a fingerprint); pairs sharing >=
+    _WIN_MIN_SHARED distinct fingerprints are reported."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text").where(
+        F.length("text") >= _WIN_G + _WIN_W - 1
     )
-    out = substring_pairs(docs, gram_chars=32, window=16)
-    return out.select(
-        F.col("src").cast("bigint").alias("src"),
-        F.col("dst").cast("bigint").alias("dst"),
-        "n_shared_fps",
+    grams = docs.select(
+        "doc_id",
+        (F.length("text") - _WIN_G + 1).alias("ng"),
+        F.explode(
+            F.sequence(F.lit(1), F.length("text") - _WIN_G + 1)
+        ).alias("pos"),
+        "text",
+    ).select(
+        "doc_id",
+        "ng",
+        "pos",
+        F.conv(
+            F.substring(F.md5(F.expr(f"substring(text, pos, {_WIN_G})")), 1, 15),
+            16,
+            10,
+        ).cast("bigint").alias("h"),
+    )
+    wspec = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WIN_W - 1)
+    fps = (
+        grams.withColumn("fp", F.min("h").over(wspec))
+        .where(F.col("pos") <= F.col("ng") - _WIN_W + 1)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    a = fps.select(F.col("doc_id").cast("bigint").alias("src"), "fp")
+    b = fps.select(F.col("doc_id").cast("bigint").alias("dst"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n_shared_fps"))
+        .where(F.col("n_shared_fps") >= _WIN_MIN_SHARED)
+    )
+
+
+SQL_SUBSTRING_PAIRS = f"""
+WITH d AS (
+  SELECT doc_id, text, length(text) - {_WIN_G} + 1 AS ng FROM documents
+  WHERE length(text) >= {_WIN_G + _WIN_W - 1}
+), pos AS (
+  SELECT doc_id, ng, text, unnest(range(1, ng + 1)) AS pos FROM d
+), grams AS (
+  SELECT doc_id, ng, pos,
+         ('0x' || substr(md5(substr(text, pos, {_WIN_G})), 1, 15))::BIGINT AS h
+  FROM pos
+), wins AS (
+  SELECT doc_id, ng, pos,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING) AS fp
+  FROM grams
+), fps AS (
+  SELECT DISTINCT doc_id, fp FROM wins WHERE pos <= ng - {_WIN_W} + 1
+)
+SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS n_shared_fps
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {_WIN_MIN_SHARED}
+"""
+
+
+def _lsh_sat_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH candidate pairs at the SATURATING driver-check
+    config: 1 bit x 32 tables. A pair escapes every table only by lying on
+    opposite sides of all 32 hyperplanes — P = (theta/pi)^32, < 1e-11 for
+    any pair similar enough to appear in a top-k or near-dup result. The
+    candidate set therefore provably covers the exact answer and the
+    DuckDB brute-force oracle applies VERBATIM (equality required, not
+    probabilistic). Selectivity at scale configs (auto log2(n) bits,
+    bucket caps) is pytest-gated with planted corpora instead
+    (tests/test_ann_multimodal.py)."""
+    from ..operators.ann import hyperplane_signatures
+
+    emb = _emb(spark, sf_dir)
+    sigs = hyperplane_signatures(
+        emb, dim=64, n_tables=32, bits_per_table=1, seed=DEFAULT_CONFIG["seed"]
+    )
+    return (
+        sigs.select(F.col("vec_id").alias("src"), "table", "bucket")
+        .join(
+            sigs.select(F.col("vec_id").alias("dst"), "table", "bucket"),
+            ["table", "bucket"],
+        )
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+def _norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    return emb.select(
+        "vec_id",
+        "v",
+        F.sqrt(
+            F.aggregate(
+                F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+            )
+        ).alias("nrm"),
     )
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH approximate top-k (scale path of ann_topk;
-    rows-only — approximate by design)."""
-    from ..operators.ann import ann_lsh_topk
-
-    emb = _emb(spark, sf_dir)
-    return ann_lsh_topk(emb, k=5, query_filter=F.col("vec_id") < 10)
+    """Hyperplane-LSH top-k (scale path of ann_topk): bucket join ->
+    exact cosine re-rank within candidates. Driver config saturates the
+    buckets (see _lsh_sat_candidates) so the result EQUALS brute-force
+    top-k and SQL_ANN_TOPK is its exact oracle; the re-rank expressions
+    mirror q_ann_topk for bit-identical doubles."""
+    cand = _lsh_sat_candidates(spark, sf_dir)
+    # candidates are canonical src<dst; expand to both query directions
+    cand = cand.select(
+        F.col("src").alias("query_id"), F.col("dst").alias("cand_id")
+    ).unionAll(
+        cand.select(F.col("dst").alias("query_id"), F.col("src").alias("cand_id"))
+    ).where(F.col("query_id") < 10)
+    norm = _norms(spark, sf_dir)
+    q = norm.select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    c = norm.select(
+        F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
+    )
+    scored = (
+        cand.join(q, "query_id")
+        .join(c, "cand_id")
+        .select(
+            "query_id",
+            "cand_id",
+            (dot / (F.col("qn") * F.col("cn"))).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _ANN_K)
+        .select(
+            "query_id", "cand_id", F.round("cos_raw", 4).alias("cosine"), "rnk"
+        )
+    )
 
 
 def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH embedding near-dup pairs (scale path of
-    embedding_similar_pairs; candidates from shared buckets only, exact
-    cosine verify — rows-only, approximate by design; planted-neighbor
-    recall is pytest-gated in tests/test_ann_multimodal.py)."""
-    from ..operators.ann import embedding_near_dup_pairs
-
-    # 0.35 matches the brute-force oracle query's threshold on this data
-    return embedding_near_dup_pairs(_emb(spark, sf_dir), cos_threshold=0.35)
+    embedding_similar_pairs): bucket-join candidates, exact cosine verify.
+    Driver config saturates the buckets (see _lsh_sat_candidates) so the
+    output EQUALS the brute-force pair set and
+    SQL_EMBEDDING_SIMILAR_PAIRS is its exact oracle."""
+    cand = _lsh_sat_candidates(spark, sf_dir)
+    norm = _norms(spark, sf_dir)
+    a = norm.select(F.col("vec_id").alias("src"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = norm.select(F.col("vec_id").alias("dst"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        cand.join(a, "src")
+        .join(b, "dst")
+        .select("src", "dst", (dot / (F.col("na") * F.col("nb"))).alias("cos_raw"))
+        .where(F.col("cos_raw") >= _SIM_THETA)
+        .select("src", "dst", F.round("cos_raw", 4).alias("cosine"))
+    )
 
 
 QUERIES = {
@@ -979,6 +1200,17 @@ ORACLES = {
     "lang_source_rollup": SQL_LANG_SOURCE_ROLLUP,
     "customers_no_orders": SQL_CUSTOMERS_NO_ORDERS,
     "parts_multi_supplier": SQL_PARTS_MULTI_SUPPLIER,
-    # minhash_lsh_pairs / simhash_near_pairs / substring_pairs /
-    # ann_lsh_topk: engine-config or approximate ops, rows-only checks.
+    # round-3: the former rows-only queries now carry real oracles —
+    # minhash_lsh_pairs exact-verifies LSH candidates at shingle-Jaccard
+    # (banding recall makes brute-force equality required); substring_pairs
+    # is md5-winnowing (shared gram hash, fully SQL); the two LSH embedding
+    # queries run at a bucket-saturating driver config so their brute-force
+    # twins are exact oracles. Only simhash_near_pairs stays rows-only: its
+    # kernel 64-bit simhash isn't SQL-reproducible — its banding==bruteforce
+    # equality is pytest-gated and its SQL-expressible twin
+    # simhash_hamming_pairs_sql carries the value-hash check for the family.
+    "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
+    "substring_pairs": SQL_SUBSTRING_PAIRS,
+    "ann_lsh_topk": SQL_ANN_TOPK,
+    "embedding_near_dup_lsh": SQL_EMBEDDING_SIMILAR_PAIRS,
 }

@@ -34,10 +34,17 @@ def _xlsx_rows(path: str, sheet_index: int = 0) -> list[list[str]]:
             root = ET.fromstring(z.read("xl/sharedStrings.xml"))
             for si in root.findall(f"{_XLSX_NS}si"):
                 shared.append("".join(t.text or "" for t in si.iter(f"{_XLSX_NS}t")))
+        # sort worksheets by NUMERIC suffix: lexicographic filename order
+        # puts sheet10.xml before sheet2.xml, so sheet_index would pick the
+        # wrong sheet in 10+-sheet workbooks (matches workbook.xml order for
+        # the standard writer layout, where sheetN.xml is the Nth sheet)
         sheets = sorted(
-            n
-            for n in z.namelist()
-            if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
+            (
+                n
+                for n in z.namelist()
+                if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
+            ),
+            key=lambda n: int(re.search(r"(\d+)\.xml$", n).group(1)),
         )
         if not sheets:
             raise ValueError(f"no worksheets in {path}")
@@ -65,6 +72,12 @@ def _xlsx_rows(path: str, sheet_index: int = 0) -> list[list[str]]:
                 else:
                     v = c.find(f"{_XLSX_NS}v")
                     val = v.text if v is not None and v.text else ""
+                    if "e" in val.lower() and re.fullmatch(
+                        r"[-+]?\d*\.?\d+[eE][-+]?\d+", val
+                    ):
+                        # scientific notation: render like pandas dtype=str
+                        # (via float), e.g. 1.23E+05 -> 123000.0
+                        val = repr(float(val))
                     if val.endswith(".0"):
                         val = val[:-2]
                 cells[col] = val

@@ -318,6 +318,18 @@ ROWS = [
          birthdate="", city="", sex="", suffix=""),
     dict(rid="r22", first_name="Rogelio", last_name="Dimaculangan", middle_name="",
          birthdate="", city="", sex="", suffix=""),
+    # widened N3 family (round-3): Christopher ~ Chris via curated lookup —
+    # neither prefix (chr) nor part rules produce 'chris', so the curated
+    # table is load-bearing for this J4 cluster
+    dict(rid="r23", first_name="Christopher", last_name="Magbanua", middle_name="Cruz",
+         birthdate="1987-02-02", city="Boac", sex="M", suffix=""),
+    dict(rid="r24", first_name="Chris", last_name="Magbanua", middle_name="Cruz",
+         birthdate="1987-02-02", city="Boac", sex="M", suffix=""),
+    # widened N3 female family: Corazon ~ Cory
+    dict(rid="r25", first_name="Corazon", last_name="Dimagiba", middle_name="Luna",
+         birthdate="1972-08-08", city="Gasan", sex="F", suffix=""),
+    dict(rid="r26", first_name="Cory", last_name="Dimagiba", middle_name="Luna",
+         birthdate="1972-08-08", city="Gasan", sex="F", suffix=""),
 ]
 
 
@@ -363,6 +375,9 @@ def test_seeded_semantics(result):
     )
     # C6 city canonicalization feeds the -30 conflict term
     assert same("r19", "r20"), "Sta. Cruz == Santa Cruz after C6 canon"
+    # round-3 widened N3 families (J4 recall through the curated table)
+    assert same("r23", "r24"), "Christopher ~ Chris must cluster (N3)"
+    assert same("r25", "r26"), "Corazon ~ Cory must cluster (N3)"
 
 
 def test_adaptive_penalty_and_status(result):

@@ -142,3 +142,54 @@ def test_extraction_byte_identity_e2e(spark, corpus):
     df = corpus_to_spark(spark, pages)
     got = {r["url"]: r["text"] for r in extract_stage(df).collect()}
     assert got == texts
+
+
+def test_precision_of_widened_estimator_band(spark, corpus):
+    """ADVICE r2: the fuzzy tier accepts at est >= theta - 2.33*sigma
+    (~0.718) for the 0.99 RECALL gate; this is the matching PRECISION
+    gate. Every emitted edge is recomputed against exact shingle Jaccard:
+    edges admitted by the ESTIMATOR band (hamming > radius, so simhash
+    did not admit them) must never sit far below threshold — the
+    symmetric tail only reaches ~theta - 2z*sigma. And no truth-planted
+    near50 pair (J~0.5) may be admitted by ANY tier."""
+    from name_deduplication_python_spark import DEFAULT_CONFIG as cfg
+    from name_deduplication_python_spark.operators.extract import extract_stage
+    from name_deduplication_python_spark.operators.lsh import band_keys, candidate_pairs
+    from name_deduplication_python_spark.operators.signatures import signature_stage
+    from name_deduplication_python_spark.operators.verify import verify_stage
+
+    pages, truth, texts = corpus
+    df = corpus_to_spark(spark, pages)
+    extracted = extract_stage(df)
+    sigs = signature_stage(
+        extracted, num_hashes=cfg["num_hashes"], shingle_k=cfg["shingle_k"],
+        seed=cfg["seed"],
+    )
+    keys = band_keys(sigs, bands=cfg["bands"], rows_per_band=cfg["rows_per_band"])
+    pairs, _ = candidate_pairs(keys, bucket_cap=cfg["bucket_cap"])
+    edges = verify_stage(
+        pairs, sigs, num_hashes=cfg["num_hashes"],
+        jaccard_threshold=cfg["jaccard_threshold"],
+        simhash_radius=cfg["simhash_radius"],
+    ).collect()
+    assert edges
+
+    k, theta = cfg["shingle_k"], cfg["jaccard_threshold"]
+    sigma = (theta * (1 - theta) / cfg["num_hashes"]) ** 0.5
+    floor = theta - 2 * 2.33 * sigma  # symmetric tail bound (~0.635)
+
+    def exact_j(a, b):
+        sa, sb = _shingle_set(texts[a], k), _shingle_set(texts[b], k)
+        inter = len(sa & sb)
+        return inter / (len(sa) + len(sb) - inter) if inter else 0.0
+
+    est_admitted = [e for e in edges if e.hamming > cfg["simhash_radius"]]
+    assert est_admitted, "fixture must exercise the estimator band"
+    worst = min(exact_j(e.src, e.dst) for e in est_admitted)
+    assert worst >= floor, f"estimator band admitted exact J={worst:.3f}"
+
+    emitted = {tuple(sorted((e.src, e.dst))) for e in edges}
+    far = truth[truth.kind == "near50"]
+    assert len(far) > 0
+    for a, b in zip(far.src, far.dst):
+        assert tuple(sorted((a, b))) not in emitted, "near50 pair admitted"

