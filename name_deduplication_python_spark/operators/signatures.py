@@ -305,6 +305,41 @@ def compute_signatures_np(
     )
 
 
+def signature_collapse(sigs: DataFrame, id_col: str = "url") -> DataFrame:
+    """Exact-duplicate collapse AFTER the (map-only) signature pass:
+    docs with identical signature content (minhash + simhash +
+    n_shingles — byte-identical texts by construction, or J~1 texts whose
+    128 minhashes all agree, which the Exact tier would merge anyway)
+    map to one representative = the group's MIN id.
+
+    Returns exact_map(url, rep). Downstream LSH runs on reps only, so
+
+      * an m-copy boilerplate family contributes ONE member per band
+        bucket instead of m — the collect_list row-size pathology for
+        exact dups is structurally gone (near-dup hot buckets remain
+        bucket_cap's job), and the band shuffle shrinks by the corpus
+        dup rate (~30-50% on real web crawls);
+      * cluster labels are preserved: rep = min(url) per group, so the
+        component minimum over reps IS the component minimum over urls.
+
+    Zero-shingle (empty-text) docs are NOT collapsed (each maps to
+    itself): the engine treats empty docs as singletons, never as
+    duplicates of each other, matching the band_keys n_shingles>0 filter.
+
+    Cost: one narrow shuffle of (sig_hash, url) — no text, no minhash
+    payload. The 64-bit sig_hash collision risk (~n^2/2^65) merges two
+    docs wrongly at ~5e-8 for 10^6 docs; a 10^12-doc deployment uses
+    md5(text) at the extract stage instead (128-bit, see DESIGN.md).
+    """
+    h = F.when(
+        F.col("n_shingles") > 0,
+        F.xxhash64("minhash", "simhash", "n_shingles"),
+    ).otherwise(F.xxhash64(F.lit("empty:"), id_col))
+    m = sigs.select(F.col(id_col).alias("url"), h.alias("sig_h"))
+    reps = m.groupBy("sig_h").agg(F.min("url").alias("rep"))
+    return m.join(reps, "sig_h").select("url", "rep")
+
+
 def signature_stage(
     extracted: DataFrame,
     id_col: str = "url",

@@ -12,6 +12,8 @@ n_rows) plus stage wall-clock, written to <workdir>/metrics.
 Stages:
   1 extracted   url, warc_ts, text, lang         (byte-deterministic)
   2 signatures  url, minhash[128], simhash, n_shingles
+  2b exact_map  url, rep   (identical-signature collapse; rep = group min
+                url — LSH then runs on reps only; exact_collapse=True)
   3 pairs       src, dst (surrogate uid = xxhash64(url); 8-byte shuffle
                 keys — see run() comment)                (LSH candidates)
   4 edges       src, dst (urls), est_jaccard, hamming, status (verified)
@@ -33,7 +35,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import DEFAULT_CONFIG
-from .operators.components import components_with_singletons
+from .operators.components import (
+    components_with_exact_map,
+    components_with_singletons,
+)
 from .operators.extract import extract_stage
 from .operators.lsh import band_keys, candidate_pairs
 from .operators.signatures import signature_stage
@@ -57,6 +62,12 @@ class DedupConfig:
     # checkpoint/recompute tradeoff is the standard lakehouse knob; results
     # are identical (same kernels, same plans past the fusion point).
     fuse_stages: bool = False
+    # exact_collapse: identical-signature docs collapse to one
+    # representative before the band shuffle (operators.signatures.
+    # signature_collapse) — structurally prevents exact-dup mega-buckets
+    # and cuts LSH work by the corpus dup rate; clusters are identical
+    # (rep = group min id; parity-tested).
+    exact_collapse: bool = True
     extra: dict = field(default_factory=dict)
 
 
@@ -89,7 +100,7 @@ def _lineage_rows(path: str, stage: str) -> list[dict]:
 class DedupPipeline:
     """Resumable near-dup pipeline over a web_pages DataFrame."""
 
-    STAGES = ("extracted", "signatures", "pairs", "edges", "clusters")
+    STAGES = ("extracted", "signatures", "exact_map", "pairs", "edges", "clusters")
 
     def __init__(
         self,
@@ -163,6 +174,29 @@ class DedupPipeline:
 
     # ---- stages ----------------------------------------------------------
 
+    def _exact_map_stage(self, sigs: DataFrame) -> DataFrame:
+        """Materialize the exact-duplicate map (url, rep) from signature
+        content (see operators.signatures.signature_collapse)."""
+        if _done(self._path("exact_map")):
+            return self.spark.read.parquet(self._path("exact_map"))
+        from .operators.signatures import signature_collapse
+
+        return self._materialize("exact_map", signature_collapse(sigs))
+
+    @staticmethod
+    def _rep_sigs(sigs_u: DataFrame, exact_map: DataFrame | None) -> DataFrame:
+        """Restrict signatures to exact-group representatives via a
+        BROADCAST semi-join on 8-byte uids (the rep set is ~|distinct
+        texts| longs — tens of MB at sandbox scale; a 10^12-doc deployment
+        replaces this with a storage-partitioned join, DESIGN.md)."""
+        if exact_map is None:
+            return sigs_u
+        rep_uids = (
+            exact_map.where(F.col("url") == F.col("rep"))
+            .select(F.xxhash64("rep").alias("uid"))
+        )
+        return sigs_u.join(F.broadcast(rep_uids), "uid", "left_semi")
+
     def run(self, pages: DataFrame) -> DataFrame:
         cfg = self.cfg
         if cfg.fuse_stages:
@@ -194,11 +228,15 @@ class DedupPipeline:
         # 10^12-doc deployment widens this to 128 bits (two seeded
         # xxhash64 columns) — same plan shape.
         sigs_u = sigs.withColumn("uid", F.xxhash64("url"))
+        exact_map = self._exact_map_stage(sigs) if cfg.exact_collapse else None
         if _done(self._path("pairs")):
             pairs = self.spark.read.parquet(self._path("pairs"))
         else:
             keys = band_keys(
-                sigs_u, id_col="uid", bands=cfg.bands, rows_per_band=cfg.rows_per_band
+                self._rep_sigs(sigs_u, exact_map),
+                id_col="uid",
+                bands=cfg.bands,
+                rows_per_band=cfg.rows_per_band,
             )
             pairs_df, bucket_obs = candidate_pairs(
                 keys, id_col="uid", bucket_cap=cfg.bucket_cap
@@ -260,17 +298,23 @@ class DedupPipeline:
             # edge count from the materialized stage's parquet footers —
             # spares CC its count-probe job
             n_edges = sum(r["n_rows"] for r in _lineage_rows(self._path("edges"), ""))
-            clusters = self._materialize(
-                "clusters",
-                components_with_singletons(
+            if exact_map is not None:
+                clusters_df = components_with_exact_map(
+                    edges.select("src", "dst"),
+                    exact_map,
+                    edge_count_hint=n_edges,
+                    edges_distinct=True,
+                )
+            else:
+                clusters_df = components_with_singletons(
                     edges.select("src", "dst"),
                     extracted,
                     "url",
                     edge_count_hint=n_edges,
                     ids_unique=True,  # stage outputs are keyed by url
                     edges_distinct=True,  # candidate_pairs already dedups
-                ),
-            )
+                )
+            clusters = self._materialize("clusters", clusters_df)
 
         if self.cfg.extra.get("audit") and not _done(self._path("audit")):
             # post-hoc adversarial verification (R1-R5 analog): re-check a
@@ -321,6 +365,7 @@ class DedupPipeline:
                 ),
             )
 
+        exact_map = self._exact_map_stage(sigs) if cfg.exact_collapse else None
         if _done(self._path("edges")):
             edges = self.spark.read.parquet(self._path("edges"))
         else:
@@ -328,7 +373,10 @@ class DedupPipeline:
             # run() comment); urls re-enter via the verify join relabel
             sigs_u = sigs.withColumn("uid", F.xxhash64("url"))
             keys = band_keys(
-                sigs_u, id_col="uid", bands=cfg.bands, rows_per_band=cfg.rows_per_band
+                self._rep_sigs(sigs_u, exact_map),
+                id_col="uid",
+                bands=cfg.bands,
+                rows_per_band=cfg.rows_per_band,
             )
             pairs_df, bucket_obs = candidate_pairs(
                 keys, id_col="uid", bucket_cap=cfg.bucket_cap
@@ -363,17 +411,23 @@ class DedupPipeline:
             n_edges = sum(
                 r["n_rows"] for r in _lineage_rows(self._path("edges"), "")
             )
-            clusters = self._materialize(
-                "clusters",
-                components_with_singletons(
+            if exact_map is not None:
+                clusters_df = components_with_exact_map(
+                    edges.select("src", "dst"),
+                    exact_map,
+                    edge_count_hint=n_edges,
+                    edges_distinct=True,
+                )
+            else:
+                clusters_df = components_with_singletons(
                     edges.select("src", "dst"),
                     sigs,
                     "url",
                     edge_count_hint=n_edges,
                     ids_unique=True,
                     edges_distinct=True,  # candidate_pairs already dedups
-                ),
-            )
+                )
+            clusters = self._materialize("clusters", clusters_df)
         return clusters
 
     # ---- reports ---------------------------------------------------------

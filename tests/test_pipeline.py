@@ -92,3 +92,72 @@ def test_pipeline_interrupted_stage_is_recomputed(spark, workdir):
     _, cl2 = _run(spark, workdir)
     assert os.path.exists(marker)
     assert cl1.equals(cl2)
+
+
+def test_exact_collapse_clusters_identical(spark, tmp_path):
+    """exact_collapse=True must produce byte-identical clusters: identical
+    -signature docs were all Exact-tier edges before, and rep = group min
+    url keeps every component's min-url label. Fixture adds a 30-copy
+    identical family (the collect_list pathology ADVICE r2 flagged) on
+    top of the standard corpus."""
+    import pandas as pd
+
+    from name_deduplication_python_spark.sources.corpus import (
+        corpus_to_spark,
+        generate_corpus,
+    )
+
+    pages, _ = generate_corpus(n_base=120, seed=51)
+    fam = pages.iloc[:1].copy()
+    clones = pd.concat([fam] * 30, ignore_index=True)
+    clones["url"] = [f"https://example.org/clone/{i:04d}" for i in range(30)]
+    pages = pd.concat([pages, clones], ignore_index=True)
+    df = corpus_to_spark(spark, pages).cache()
+
+    on = DedupPipeline(
+        spark, str(tmp_path / "on"), DedupConfig(exact_collapse=True)
+    ).run(df)
+    off = DedupPipeline(
+        spark, str(tmp_path / "off"), DedupConfig(exact_collapse=False)
+    ).run(df)
+    a = {r.url: r.cluster_id for r in on.collect()}
+    b = {r.url: r.cluster_id for r in off.collect()}
+    assert a == b
+    # the clone family is one cluster labeled by its min url
+    fam_urls = [f"https://example.org/clone/{i:04d}" for i in range(30)]
+    labels = {a[u] for u in fam_urls}
+    assert len(labels) == 1
+    # collapse actually shrank the candidate side: pairs hold rep uids only
+    import pyarrow.parquet as pq
+    import glob, os
+
+    n_pairs_on = sum(
+        pq.read_metadata(p).num_rows
+        for p in glob.glob(os.path.join(str(tmp_path / "on"), "pairs", "*.parquet"))
+    )
+    n_pairs_off = sum(
+        pq.read_metadata(p).num_rows
+        for p in glob.glob(os.path.join(str(tmp_path / "off"), "pairs", "*.parquet"))
+    )
+    assert n_pairs_on < n_pairs_off
+
+
+def test_exact_collapse_empty_docs_stay_singletons(spark, tmp_path):
+    """Zero-shingle (empty-text) docs must NOT collapse into one group."""
+    import datetime as dt
+
+    import pandas as pd
+
+    rows = [
+        {"url": f"u{i}", "warc_ts": dt.datetime(2024, 1, 1), "html": None,
+         "text": "", "lang": "en"}
+        for i in range(5)
+    ]
+    from name_deduplication_python_spark.schemas import WEB_PAGES
+
+    df = spark.createDataFrame(pd.DataFrame(rows), WEB_PAGES)
+    clusters = DedupPipeline(
+        spark, str(tmp_path / "w"), DedupConfig(exact_collapse=True)
+    ).run(df)
+    labs = {r.url: r.cluster_id for r in clusters.collect()}
+    assert len(set(labs.values())) == 5  # each its own singleton
