@@ -75,6 +75,41 @@ def _done(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
 
 
+def allocate_run_dir(base: str, cfg: "DedupConfig | None" = None) -> str:
+    """S10 analog (output path allocator, /root/reference/main.py's
+    report-path scheme re-imagined for a lake layout): allocate a run
+    directory under ``base`` keyed by the CONFIG FINGERPRINT, so
+
+      * the same config always resumes the same run dir (checkpoint
+        reuse comes for free, and the fingerprint check can never refuse);
+      * a changed config allocates a SIBLING dir instead of clobbering or
+        refusing — no stale-checkpoint hazard;
+      * a dir whose config.json somehow mismatches its name (manual
+        tampering) falls through to a numbered sibling rather than
+        colliding.
+    """
+    import hashlib
+    from dataclasses import asdict
+
+    cfg = cfg or DedupConfig()
+    fp = {k: v for k, v in asdict(cfg).items() if k != "extra"}
+    blob = json.dumps(fp, sort_keys=True).encode()
+    tag = hashlib.sha256(blob).hexdigest()[:12]
+    for seq in range(1000):
+        path = os.path.join(base, f"run-{tag}" + (f"-{seq}" if seq else ""))
+        cfg_path = os.path.join(path, "config.json")
+        if not os.path.exists(path):
+            os.makedirs(path, exist_ok=True)
+            return path
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                if json.load(f) == fp:
+                    return path  # same config: resume here
+        else:
+            return path  # allocated but unfingerprinted: claim it
+    raise RuntimeError(f"could not allocate a run dir under {base}")
+
+
 def _lineage_rows(path: str, stage: str) -> list[dict]:
     """Per-partition lineage rows (stage, partition_id, n_rows, file) read
     from the parquet footers of the just-written stage output — no Spark

@@ -557,3 +557,36 @@ def test_display_name_expr(spark):
     )
     got = [r.d for r in df.select(display_name_expr(__import__('pyspark.sql.functions', fromlist=['col']).col("v")).alias("d")).collect()]
     assert got == ["Ma. Luisa Reyes", "Jose Santos", "1990", "Dela Cruz"]
+
+
+def test_officials_extra_columns_pass_through(spark):
+    """Reference officials tables carry extra projected columns (Position,
+    Barangay — data_utils.py:297,311); the engine analog is keep= pass-
+    through: extra columns survive remap+normalize and can ride into
+    reports."""
+    import pandas as pd
+
+    from name_deduplication_python_spark.operators.names import (
+        normalize_records,
+        remap_columns,
+    )
+
+    rows = pd.DataFrame([
+        dict(rid="o1", first_name="Jose", last_name="Mercado",
+             middle_name="", birthdate="1990-01-15", city="Boac", sex="M",
+             suffix="", position="Chairman", barangay="Poblacion"),
+        dict(rid="o2", first_name="Ana", last_name="Reyes", middle_name="",
+             birthdate="1985-06-02", city="Gasan", sex="F", suffix="",
+             position="Kagawad", barangay="Ipil"),
+    ])
+    feats = normalize_records(
+        remap_columns(
+            spark.createDataFrame(rows), keep=["rid", "position", "barangay"]
+        )
+    )
+    got = {r.rid: (r.position, r.barangay) for r in feats.collect()}
+    assert got == {
+        "o1": ("Chairman", "Poblacion"),
+        "o2": ("Kagawad", "Ipil"),
+    }
+    assert "_fn" in feats.columns  # normalized features still present

@@ -161,3 +161,28 @@ def test_exact_collapse_empty_docs_stay_singletons(spark, tmp_path):
     ).run(df)
     labs = {r.url: r.cluster_id for r in clusters.collect()}
     assert len(set(labs.values())) == 5  # each its own singleton
+
+
+def test_allocate_run_dir_scheme(spark, tmp_path):
+    """S10: same config resumes the same dir; changed config gets a
+    sibling; tampered dirs fall through to a numbered sibling."""
+    from name_deduplication_python_spark.pipeline import allocate_run_dir
+
+    base = str(tmp_path / "runs")
+    c1 = DedupConfig()
+    p1 = allocate_run_dir(base, c1)
+    # pipeline writes its fingerprint; a second allocation resumes it
+    DedupPipeline(spark, p1, c1)
+    assert allocate_run_dir(base, c1) == p1
+    # different config -> different dir, same base
+    c2 = DedupConfig(bands=20, rows_per_band=6)
+    p2 = allocate_run_dir(base, c2)
+    assert p2 != p1 and os.path.dirname(p2) == base
+    DedupPipeline(spark, p2, c2)
+    # tamper: overwrite p1's fingerprint -> next alloc claims a sibling
+    import json as _json
+
+    with open(os.path.join(p1, "config.json"), "w") as f:
+        _json.dump({"bogus": 1}, f)
+    p3 = allocate_run_dir(base, c1)
+    assert p3 not in (p1, p2) and p3.startswith(p1)
