@@ -12,8 +12,9 @@ n_rows) plus stage wall-clock, written to <workdir>/metrics.
 Stages:
   1 extracted   url, warc_ts, text, lang         (byte-deterministic)
   2 signatures  url, minhash[128], simhash, n_shingles
-  2b exact_map  url, rep   (identical-signature collapse; rep = group min
-                url — LSH then runs on reps only; exact_collapse=True)
+  (derived)     exact_map (url, rep): identical-signature collapse, a
+                deterministic view over signatures — LSH runs on reps
+                only (exact_collapse=True); not persisted
   3 pairs       src, dst (surrogate uid = xxhash64(url); 8-byte shuffle
                 keys — see run() comment)                (LSH candidates)
   4 edges       src, dst (urls), est_jaccard, hamming, status (verified)
@@ -135,7 +136,7 @@ def _lineage_rows(path: str, stage: str) -> list[dict]:
 class DedupPipeline:
     """Resumable near-dup pipeline over a web_pages DataFrame."""
 
-    STAGES = ("extracted", "signatures", "exact_map", "pairs", "edges", "clusters")
+    STAGES = ("extracted", "signatures", "pairs", "edges", "clusters")
 
     def __init__(
         self,
@@ -209,14 +210,16 @@ class DedupPipeline:
 
     # ---- stages ----------------------------------------------------------
 
-    def _exact_map_stage(self, sigs: DataFrame) -> DataFrame:
-        """Materialize the exact-duplicate map (url, rep) from signature
-        content (see operators.signatures.signature_collapse)."""
-        if _done(self._path("exact_map")):
-            return self.spark.read.parquet(self._path("exact_map"))
+    @staticmethod
+    def _exact_map_view(sigs: DataFrame) -> DataFrame:
+        """Exact-duplicate map (url, rep) as a DERIVED view over the
+        materialized signatures — deterministic (groupBy-min), so resume
+        granularity is untouched and no stage write/commit is paid; the
+        narrow (sig_hash, url) groupBy is recomputed per consuming job
+        (edges, clusters), which costs less than one materialization."""
         from .operators.signatures import signature_collapse
 
-        return self._materialize("exact_map", signature_collapse(sigs))
+        return signature_collapse(sigs)
 
     @staticmethod
     def _rep_sigs(sigs_u: DataFrame, exact_map: DataFrame | None) -> DataFrame:
@@ -263,7 +266,7 @@ class DedupPipeline:
         # 10^12-doc deployment widens this to 128 bits (two seeded
         # xxhash64 columns) — same plan shape.
         sigs_u = sigs.withColumn("uid", F.xxhash64("url"))
-        exact_map = self._exact_map_stage(sigs) if cfg.exact_collapse else None
+        exact_map = self._exact_map_view(sigs) if cfg.exact_collapse else None
         if _done(self._path("pairs")):
             pairs = self.spark.read.parquet(self._path("pairs"))
         else:
@@ -400,7 +403,7 @@ class DedupPipeline:
                 ),
             )
 
-        exact_map = self._exact_map_stage(sigs) if cfg.exact_collapse else None
+        exact_map = self._exact_map_view(sigs) if cfg.exact_collapse else None
         if _done(self._path("edges")):
             edges = self.spark.read.parquet(self._path("edges"))
         else:
