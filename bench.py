@@ -194,7 +194,7 @@ def run_scaling() -> None:
     so each level runs REPEATS times and the best run counts — standard
     noisy-neighbor practice; per-run steal%% is recorded for transparency.
     """
-    repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "3"))
+    repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "4"))
     # N=2 vs 4N=8: the highest pairing whose EP probe ceiling is near 1.0
     # on this oversubscribed sandbox VM (measured: 2->8 procs 0.83-0.94,
     # 4->16 0.70-0.80, 8->32 0.48 for pure-numpy work) — at 4->16 the BOX

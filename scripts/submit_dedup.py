@@ -34,6 +34,17 @@ def main() -> None:
     ap.add_argument("--shingle-k", type=int, default=5)
     ap.add_argument("--jaccard-threshold", type=float, default=0.80)
     ap.add_argument("--bucket-cap", type=int, default=64)
+    ap.add_argument(
+        "--fuse-stages",
+        action="store_true",
+        help="3-job layout (extract fused into signatures, pairs into "
+        "verify) — less resume granularity, fewer materializations",
+    )
+    ap.add_argument(
+        "--no-exact-collapse",
+        action="store_true",
+        help="disable the identical-signature representative collapse",
+    )
     args = ap.parse_args()
 
     # Session comes from spark-submit confs; only ensure AQE/Arrow here.
@@ -57,6 +68,8 @@ def main() -> None:
         shingle_k=args.shingle_k,
         jaccard_threshold=args.jaccard_threshold,
         bucket_cap=args.bucket_cap,
+        fuse_stages=args.fuse_stages,
+        exact_collapse=not args.no_exact_collapse,
     )
     pages = spark.read.parquet(args.input)
     pipe = DedupPipeline(spark, args.workdir, cfg)

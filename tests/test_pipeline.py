@@ -186,3 +186,28 @@ def test_allocate_run_dir_scheme(spark, tmp_path):
         _json.dump({"bogus": 1}, f)
     p3 = allocate_run_dir(base, c1)
     assert p3 not in (p1, p2) and p3.startswith(p1)
+
+
+def test_fused_pipeline_resumes_from_signatures(spark, tmp_path):
+    """fuse_stages resume granularity: a run with signatures done but
+    edges missing must reuse the signature checkpoint (byte-stable files)
+    and complete from there."""
+    import shutil
+
+    pages, _ = generate_corpus(n_base=50, seed=61)
+    df = corpus_to_spark(spark, pages).cache()
+    wd = str(tmp_path / "fused")
+    cfg = DedupConfig(fuse_stages=True)
+    first = DedupPipeline(spark, wd, cfg).run(df).toPandas()
+    sig_dir = os.path.join(wd, "signatures")
+    mtimes = {f: os.path.getmtime(os.path.join(sig_dir, f)) for f in os.listdir(sig_dir)}
+    # simulate a crash after signatures: edges + clusters lost
+    shutil.rmtree(os.path.join(wd, "edges"))
+    shutil.rmtree(os.path.join(wd, "clusters"))
+    second = DedupPipeline(spark, wd, cfg).run(df).toPandas()
+    assert mtimes == {
+        f: os.path.getmtime(os.path.join(sig_dir, f)) for f in os.listdir(sig_dir)
+    }, "signature checkpoint must not be recomputed"
+    a = first.sort_values("url").reset_index(drop=True)
+    b = second.sort_values("url").reset_index(drop=True)
+    assert a.equals(b)
