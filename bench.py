@@ -12,8 +12,10 @@ sf dir's own tables feed the headline relational queries.
 
 Scaling mode (BASELINE.md protocol — the sandbox stand-in for N vs 4N
 executors):  python bench.py --scaling
-runs the same job in fresh subprocesses at local[8] and local[32] and
-writes BENCH/BASELINE.md with both throughputs + scaling efficiency.
+runs the same job in fresh subprocesses at local[2] and local[8] (the
+highest pairing whose EP host-ceiling probe approaches 1.0 on this
+oversubscribed VM) on the 2.72M-page corpus and writes BENCH/BASELINE.md
+with both throughputs + scaling efficiency + the ceiling probe.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS   (default 32).
@@ -187,7 +189,7 @@ def _read_steal() -> tuple[float, float]:
 
 
 def run_scaling() -> None:
-    """BASELINE.md protocol: same input, local[8] vs local[32], cold start
+    """BASELINE.md protocol: same input, local[2] vs local[8], cold start
     each; report throughput at both + scaling efficiency.
 
     The sandbox host shows heavy CPU steal (~18% of busy time observed),

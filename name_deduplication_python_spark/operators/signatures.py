@@ -330,6 +330,9 @@ def signature_collapse(sigs: DataFrame, id_col: str = "url") -> DataFrame:
     payload. The 64-bit sig_hash collision risk (~n^2/2^65) merges two
     docs wrongly at ~5e-8 for 10^6 docs; a 10^12-doc deployment uses
     md5(text) at the extract stage instead (128-bit, see DESIGN.md).
+    A giant identical family makes its sig_h a skewed join key on the
+    map-back join; the groupBy side is map-side combined and AQE skew
+    join (on in session.py) splits the residual.
     """
     h = F.when(
         F.col("n_shingles") > 0,

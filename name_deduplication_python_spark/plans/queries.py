@@ -808,7 +808,13 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output (src, dst, jaccard) equals the brute-force shingle-Jaccard join
     whenever banding recall is 1.0, which 25x5 banding guarantees to
     ~5e-5/pair at theta=0.8 — so the driver gets a full value-hash check
-    of the LSH spine (round-2 this was rows-only)."""
+    of the LSH spine (round-2 this was rows-only).
+
+    Scale note: the exact-verify join ships each candidate's distinct
+    shingle-string array (~10-20 KB/doc) — fine for a correctness query
+    over candidate pairs (O(dup rate x n)); the ENGINE path verifies with
+    the 512 B minhash estimate instead (operators/verify.py) and audits
+    exact Jaccard on a sample (operators/audit.py)."""
     c = DEFAULT_CONFIG
     sigs = _doc_sigs(spark, sf_dir)
     keys = band_keys(sigs, bands=c["bands"], rows_per_band=c["rows_per_band"])
