@@ -12,9 +12,8 @@ n_rows) plus stage wall-clock, written to <workdir>/metrics.
 Stages:
   1 extracted   url, warc_ts, text, lang         (byte-deterministic)
   2 signatures  url, minhash[128], simhash, n_shingles
-  (derived)     exact_map (url, rep): identical-signature collapse, a
-                deterministic view over signatures — LSH runs on reps
-                only (exact_collapse=True); not persisted
+  2b exact_map  url, rep   (identical-signature collapse; rep = group min
+                url — LSH then runs on reps only; exact_collapse=True)
   3 pairs       src, dst (surrogate uid = xxhash64(url); 8-byte shuffle
                 keys — see run() comment)                (LSH candidates)
   4 edges       src, dst (urls), est_jaccard, hamming, status (verified)
@@ -136,7 +135,7 @@ def _lineage_rows(path: str, stage: str) -> list[dict]:
 class DedupPipeline:
     """Resumable near-dup pipeline over a web_pages DataFrame."""
 
-    STAGES = ("extracted", "signatures", "pairs", "edges", "clusters")
+    STAGES = ("extracted", "signatures", "exact_map", "pairs", "edges", "clusters")
 
     def __init__(
         self,
@@ -210,16 +209,17 @@ class DedupPipeline:
 
     # ---- stages ----------------------------------------------------------
 
-    @staticmethod
-    def _exact_map_view(sigs: DataFrame) -> DataFrame:
-        """Exact-duplicate map (url, rep) as a DERIVED view over the
-        materialized signatures — deterministic (groupBy-min), so resume
-        granularity is untouched and no stage write/commit is paid; the
-        narrow (sig_hash, url) groupBy is recomputed per consuming job
-        (edges, clusters), which costs less than one materialization."""
+    def _exact_map_stage(self, sigs: DataFrame) -> DataFrame:
+        """Materialize the exact-duplicate map (url, rep) from signature
+        content (operators.signatures.signature_collapse). Materialized
+        rather than derived: two jobs consume it (edges rep-filter,
+        clusters expansion) — at 10^12 docs one ~50 B/doc write+scan beats
+        recomputing the (sig_hash, url) shuffle+join twice."""
+        if _done(self._path("exact_map")):
+            return self.spark.read.parquet(self._path("exact_map"))
         from .operators.signatures import signature_collapse
 
-        return signature_collapse(sigs)
+        return self._materialize("exact_map", signature_collapse(sigs))
 
     @staticmethod
     def _rep_sigs(sigs_u: DataFrame, exact_map: DataFrame | None) -> DataFrame:
@@ -266,7 +266,7 @@ class DedupPipeline:
         # 10^12-doc deployment widens this to 128 bits (two seeded
         # xxhash64 columns) — same plan shape.
         sigs_u = sigs.withColumn("uid", F.xxhash64("url"))
-        exact_map = self._exact_map_view(sigs) if cfg.exact_collapse else None
+        exact_map = self._exact_map_stage(sigs) if cfg.exact_collapse else None
         if _done(self._path("pairs")):
             pairs = self.spark.read.parquet(self._path("pairs"))
         else:
@@ -403,7 +403,7 @@ class DedupPipeline:
                 ),
             )
 
-        exact_map = self._exact_map_view(sigs) if cfg.exact_collapse else None
+        exact_map = self._exact_map_stage(sigs) if cfg.exact_collapse else None
         if _done(self._path("edges")):
             edges = self.spark.read.parquet(self._path("edges"))
         else:
