@@ -121,6 +121,10 @@ def read_table(
     lower = path.lower()
     if lower.endswith(".parquet"):
         return spark.read.parquet(path)
+    if lower.endswith((".warc", ".warc.gz")):
+        from .warc import read_warc
+
+        return read_warc(spark, path)
     if lower.endswith(".xlsx"):
         return read_xlsx(spark, path, header=header)
     if lower.endswith(".xls"):
