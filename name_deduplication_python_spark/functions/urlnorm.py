@@ -10,7 +10,9 @@ web-native counterpart, built entirely from native expressions
   * scheme + host lowercased; explicit default ports dropped (:80 http,
     :443 https)
   * fragment removed (try_parse_url PATH/QUERY never include it)
-  * path: duplicate slashes collapsed, trailing slash dropped (root kept)
+  * path: duplicate slashes collapsed, trailing slash dropped (root
+    kept); empty path normalized to '/' so bare-host and root-slash
+    forms converge
   * query: tracking params removed (utm_*, fbclid, gclid, msclkid,
     mc_eid, igshid, ref_src), remaining params SORTED for order-
     insensitive equality; empty query dropped
@@ -49,6 +51,9 @@ def canonical_url_expr(url) -> Column:
         (F.length(collapsed) > 1) & collapsed.endswith("/"),
         collapsed.substr(F.lit(1), F.length(collapsed) - 1),
     ).otherwise(collapsed)
+    # bare-host ('http://host', empty path) and root-slash ('http://host/')
+    # are the most common trivial URL variant pair — converge both on '/'
+    path = F.when(path == "", F.lit("/")).otherwise(path)
 
     query = F.coalesce(F.try_parse_url(u, F.lit("QUERY")), F.lit(""))
     kept = F.filter(

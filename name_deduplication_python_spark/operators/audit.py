@@ -221,16 +221,28 @@ def audit_name_pairs(
 
 
 def expand_group_pairs(
-    clusters: DataFrame, id_col: str = "rid", cluster_col: str = "cluster_id"
+    clusters: DataFrame,
+    id_col: str = "rid",
+    cluster_col: str = "cluster_id",
+    member_cap: int = 256,
 ) -> DataFrame:
-    """R5: ALL unordered member pairs within each final report group
+    """R5: unordered member pairs within each final report group
     (reference re-expands every user x reference pair inside each group,
     /root/reference/auditor.py:306-347) — including transitively-merged
     pairs that no scorer ever saw, which are exactly the pairs most worth
-    auditing. Groups are entity families (small by construction), so the
-    same native collect_list + conditional-array pairing as the LSH join
-    applies; a pathological mega-group is bounded by the lsh bucket-cap
-    machinery upstream, not here."""
+    auditing.
+
+    Groups are typically entity families (small), but CC transitively
+    chains capped LSH buckets into arbitrarily large components — that is
+    its job — so the LSH bucket_cap does NOT bound component size. Groups
+    above ``member_cap`` members therefore get CHUNKED expansion (the
+    salted-bucket strategy): the sorted member array splits into
+    ceil(n/cap) slices, each slice pairs fully (~cap²/2) plus a chain
+    across slice heads — total pairs O(n·cap) instead of C(n,2), and no
+    single row ever materializes more than ~cap² structs. Every member
+    still appears in >= cap-1 audited pairs, which is the audit's
+    sampling guarantee (audit is a sampling stage by nature —
+    ``audit_edges`` likewise takes sample_fraction)."""
     from .lsh import _pairs_of
 
     g = (
@@ -238,7 +250,29 @@ def expand_group_pairs(
         .agg(F.sort_array(F.collect_list(id_col)).alias("m"))
         .where(F.size("m") > 1)
     )
-    return g.select(F.explode(_pairs_of(F.col("m"))).alias("p")).select(
+    m = F.col("m")
+    n = F.size(m)
+    n_chunks = F.ceil(n / F.lit(member_cap)).cast("int")
+    chunk_pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda c: _pairs_of(F.slice(m, c * member_cap + 1, member_cap)),
+        )
+    )
+    heads = F.when(
+        n_chunks >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 2),
+            lambda c: F.struct(
+                F.get(m, c * member_cap).alias("src"),
+                F.get(m, (c + 1) * member_cap).alias("dst"),
+            ),
+        ),
+    ).otherwise(F.slice(chunk_pairs, 1, 0))
+    pair_arr = F.when(n <= member_cap, _pairs_of(m)).otherwise(
+        F.concat(chunk_pairs, heads)
+    )
+    return g.select(F.explode(pair_arr).alias("p")).select(
         F.col("p.src").alias("src"), F.col("p.dst").alias("dst")
     )
 
@@ -258,9 +292,18 @@ def audit_report_groups(
     None audits all pairs as unscored."""
     pairs = expand_group_pairs(clusters, id_col=id_col, cluster_col=cluster_col)
     if edges is not None:
-        e = edges.select("src", "dst", "status")
-        # canonical src<dst on both sides by construction (sorted arrays
-        # in expansion; scorer emits i<j) — a plain left join tags pairs
+        # expansion pairs are canonical by ID-value order (sorted member
+        # arrays), but scored edges may be canonicalized by a DIFFERENT
+        # order — the pipeline orients pairs by xxhash64(url) surrogate
+        # before relabeling to urls (verify.py label_col), so ~half of
+        # scored edges would miss a plain (src,dst) join and be mislabeled
+        # 'Transitive (unscored)'. Re-canonicalize the edge side by the
+        # same value order the expansion uses.
+        e = edges.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+            "status",
+        )
         pairs = pairs.join(e, ["src", "dst"], "left")
     else:
         pairs = pairs.withColumn("status", F.lit(None).cast("string"))

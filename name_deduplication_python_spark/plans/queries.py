@@ -818,7 +818,14 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = DEFAULT_CONFIG
     sigs = _doc_sigs(spark, sf_dir)
     keys = band_keys(sigs, bands=c["bands"], rows_per_band=c["rows_per_band"])
-    pairs, _ = candidate_pairs(keys, bucket_cap=c["bucket_cap"], with_stats=False)
+    # the DuckDB oracle brute-forces ALL >=theta pairs, so this correctness
+    # query must stay LOSSLESS: the engine bucket_cap's star_chain pairing
+    # drops intra-bucket pairs above the cap (an identical-family > cap
+    # docs would then emit fewer pairs than the oracle). Cap high enough
+    # that no sf0.01 bucket can reach it — matching the lossless setting
+    # q_simhash_hamming_pairs_sql already uses; the engine default remains
+    # the scale setting.
+    pairs, _ = candidate_pairs(keys, bucket_cap=1_000_000, with_stats=False)
     # candidate_pairs canonicalized by STRING url order ("245" < "8");
     # re-canonicalize numerically to match the oracle's a.doc_id < b.doc_id
     s, d = F.col("src").cast("bigint"), F.col("dst").cast("bigint")
@@ -869,24 +876,61 @@ WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= {_SHINGLE_THETA}
 """
 
 
+# The kernel 64-bit simhash is not SQL-reproducible, but the part of the
+# query that can silently LOSE pairs — banding + verify — is: the query
+# materializes its signature table to parquet and the DuckDB oracle
+# brute-forces bit_count(xor) <= radius over the SAME signatures (DuckDB
+# reads the files directly via read_parquet). The kernel itself stays
+# bit-identity-gated in pytest (tests/test_signatures.py). The oracle SQL
+# string is static, so it names the driver's correctness scale (sf0.01)
+# explicitly; the Spark side writes one view per sf so bench runs at
+# other scales never clobber the driver's view.
+_SIMHASH_VIEW_DIR = "/tmp/ndps_driver_views/simhash_sigs"
+_SIMHASH_ORACLE_SF = "sf0.01"
+
+
 def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming pairs at the ENGINE radius (3) over the engine's
     64-bit signature, via pigeonhole block banding (4 x 16-bit blocks +
     exact bit_count verify) — no cartesian product at any scale. The
     round-1 version crossJoined all documents at radius 16; radius 16
     banding needs 17 near-empty blocks (quadratic again), so the query now
-    matches the engine config it feeds. The ONLY remaining rows-only
-    driver check (the 64-bit signature comes from the mapInArrow kernel —
-    not SQL-reproducible): exact equivalence to the brute-force all-pairs
-    form is pytest-proven (tests/test_plans.py), and the SQL-expressible
-    twin simhash_hamming_pairs_sql value-hash-checks the banding+verify
-    logic for the family."""
+    matches the engine config it feeds.
+
+    Driver-checkable since round 4: the kernel signatures are written to
+    a parquet view (see _SIMHASH_VIEW_DIR) and the pairs are computed FROM
+    that view, so the DuckDB brute-force oracle reads byte-identical
+    signatures. Lossless bucket_cap for the same reason as
+    q_minhash_lsh_pairs: the oracle enumerates ALL within-radius pairs."""
+    import os
+
     sigs = _doc_sigs(spark, sf_dir).select(
         F.col("url").cast("bigint").alias("doc_id"), "simhash"
     )
-    return simhash_hamming_pairs(
-        sigs, radius=DEFAULT_CONFIG["simhash_radius"], sig_bits=64
+    view = os.path.join(
+        _SIMHASH_VIEW_DIR, os.path.basename(os.path.normpath(sf_dir))
     )
+    sigs.write.mode("overwrite").parquet(view)
+    sigs = spark.read.parquet(view)
+    out = simhash_hamming_pairs(
+        sigs,
+        radius=DEFAULT_CONFIG["simhash_radius"],
+        sig_bits=64,
+        bucket_cap=1_000_000,
+    )
+    return out.select(
+        "src", "dst", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+SQL_SIMHASH_NEAR_PAIRS = f"""
+SELECT a.doc_id AS src, b.doc_id AS dst,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM read_parquet('{_SIMHASH_VIEW_DIR}/{_SIMHASH_ORACLE_SF}/*.parquet') a
+JOIN read_parquet('{_SIMHASH_VIEW_DIR}/{_SIMHASH_ORACLE_SF}/*.parquet') b
+  ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {DEFAULT_CONFIG["simhash_radius"]}
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1211,10 +1255,10 @@ ORACLES = {
     # (banding recall makes brute-force equality required); substring_pairs
     # is md5-winnowing (shared gram hash, fully SQL); the two LSH embedding
     # queries run at a bucket-saturating driver config so their brute-force
-    # twins are exact oracles. Only simhash_near_pairs stays rows-only: its
-    # kernel 64-bit simhash isn't SQL-reproducible — its banding==bruteforce
-    # equality is pytest-gated and its SQL-expressible twin
-    # simhash_hamming_pairs_sql carries the value-hash check for the family.
+    # twins are exact oracles. Round-4: simhash_near_pairs materializes its
+    # kernel signature table to a parquet view the oracle brute-forces via
+    # read_parquet — 27/27 queries now carry an oracle.
+    "simhash_near_pairs": SQL_SIMHASH_NEAR_PAIRS,
     "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
     "substring_pairs": SQL_SUBSTRING_PAIRS,
     "ann_lsh_topk": SQL_ANN_TOPK,

@@ -263,3 +263,72 @@ def test_r5_group_expansion_audits_never_scored_pairs(spark):
     assert any(i == "last-name-low-sim" for _, i in by_pair[("b", "c")])
     # scored pairs keep their emitted status in the audit rows
     assert all(s == "Fuzzy Match" for s, _ in by_pair[("b", "c")])
+
+
+def test_r5_mega_group_expansion_is_bounded(spark):
+    """A transitively-chained mega-component (CC's job is to build these;
+    the LSH bucket_cap does NOT bound component size) must not expand to
+    C(n,2) audit pairs: above member_cap the expansion goes chunked —
+    O(n*cap) pairs, every member still covered."""
+    from pyspark.sql import functions as F
+
+    from name_deduplication_python_spark.operators.audit import (
+        expand_group_pairs,
+    )
+
+    n, cap = 5000, 50
+    clusters = spark.range(n).select(
+        F.format_string("m%05d", F.col("id")).alias("rid"),
+        F.lit("mega").alias("cluster_id"),
+    )
+    pairs = expand_group_pairs(clusters, member_cap=cap).localCheckpoint()
+    n_chunks = -(-n // cap)
+    full_chunks, rem = divmod(n, cap)
+    expected = (
+        full_chunks * cap * (cap - 1) // 2
+        + rem * (rem - 1) // 2
+        + (n_chunks - 1)
+    )
+    got = pairs.count()
+    assert got == expected, (got, expected)
+    assert got < n * (n - 1) // 2 / 50, "must be far below quadratic"
+    members = pairs.select(F.col("src").alias("m")).union(
+        pairs.select(F.col("dst").alias("m"))
+    )
+    assert members.distinct().count() == n, "every member audited"
+
+
+def test_r5_audit_joins_surrogate_canonicalized_edges(spark):
+    """Pipeline edges are canonicalized by xxhash64(url) surrogate order
+    before relabeling to urls, so a scored edge may arrive (dst, src) in
+    url order. The R5 join must still attach its status instead of
+    mislabeling the pair 'Transitive (unscored)'."""
+    import pandas as pd
+
+    from name_deduplication_python_spark.operators.audit import (
+        audit_report_groups,
+    )
+    from name_deduplication_python_spark.operators.names import (
+        normalize_records,
+        remap_columns,
+    )
+
+    rows = [
+        dict(rid="a", first_name="Jose", last_name="Mercado", middle_name="",
+             birthdate="1990-01-15", city="Boac", sex="M", suffix=""),
+        dict(rid="b", first_name="Jose", last_name="Villanueva", middle_name="",
+             birthdate="1990-01-15", city="Boac", sex="M", suffix=""),
+    ]
+    feats = normalize_records(
+        remap_columns(spark.createDataFrame(pd.DataFrame(rows)), keep=["rid"])
+    )
+    clusters = spark.createDataFrame(
+        [("a", "g1"), ("b", "g1")], "rid string, cluster_id string"
+    )
+    # scored edge arrives REVERSED relative to url sort order
+    edges = spark.createDataFrame(
+        [("b", "a", "Fuzzy Match")], "src string, dst string, status string"
+    )
+    got = audit_report_groups(clusters, feats, edges=edges).toPandas()
+    statuses = {r.status for r in got.itertuples() if (r.src, r.dst) == ("a", "b")}
+    assert statuses == {"Fuzzy Match"}, statuses

@@ -13,6 +13,9 @@ GOLDEN = [
     ("http://example.org:8080/a", "http://example.org:8080/a"),
     ("https://example.org/a//b///c/", "https://example.org/a/b/c"),
     ("https://example.org/", "https://example.org/"),
+    # bare-host converges with root-slash (the most common trivial pair)
+    ("https://example.org", "https://example.org/"),
+    ("https://example.org?b=2&a=1", "https://example.org/?a=1&b=2"),
     ("https://example.org/page#section-2", "https://example.org/page"),
     (
         "https://example.org/p?utm_source=x&b=2&a=1&fbclid=zzz",
