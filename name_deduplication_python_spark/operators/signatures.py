@@ -305,7 +305,9 @@ def compute_signatures_np(
     )
 
 
-def signature_collapse(sigs: DataFrame, id_col: str = "url") -> DataFrame:
+def signature_collapse(
+    sigs: DataFrame, id_col: str = "url", hash_bits: int = 64
+) -> DataFrame:
     """Exact-duplicate collapse AFTER the (map-only) signature pass:
     docs with identical signature content (minhash + simhash +
     n_shingles — byte-identical texts by construction, or J~1 texts whose
@@ -327,20 +329,35 @@ def signature_collapse(sigs: DataFrame, id_col: str = "url") -> DataFrame:
     duplicates of each other, matching the band_keys n_shingles>0 filter.
 
     Cost: one narrow shuffle of (sig_hash, url) — no text, no minhash
-    payload. The 64-bit sig_hash collision risk (~n^2/2^65) merges two
-    docs wrongly at ~5e-8 for 10^6 docs; a 10^12-doc deployment uses
-    md5(text) at the extract stage instead (128-bit, see DESIGN.md).
+    payload. hash_bits picks the content-hash width: 64 (default, one
+    xxhash64 — collision risk ~n^2/2^65, ~5e-8 at 10^6 docs but ~3% per
+    corpus at 10^12) or 128 (two independently-seeded xxhash64 columns —
+    odds n^2/2^129, the 10^12-doc setting; DedupConfig.collapse_hash_bits
+    exposes it and fingerprints it). Collapse groups are identical under
+    both widths whenever neither collides (parity-tested).
     A giant identical family makes its sig_h a skewed join key on the
     map-back join; the groupBy side is map-side combined and AQE skew
     join (on in session.py) splits the residual.
     """
+    if hash_bits not in (64, 128):
+        raise ValueError(f"hash_bits must be 64 or 128, got {hash_bits}")
+    empty = F.col("n_shingles") <= 0
     h = F.when(
-        F.col("n_shingles") > 0,
-        F.xxhash64("minhash", "simhash", "n_shingles"),
+        ~empty, F.xxhash64("minhash", "simhash", "n_shingles")
     ).otherwise(F.xxhash64(F.lit("empty:"), id_col))
-    m = sigs.select(F.col(id_col).alias("url"), h.alias("sig_h"))
-    reps = m.groupBy("sig_h").agg(F.min("url").alias("rep"))
-    return m.join(reps, "sig_h").select("url", "rep")
+    grp = ["sig_h"]
+    cols = [F.col(id_col).alias("url"), h.alias("sig_h")]
+    if hash_bits == 128:
+        # a second independently-seeded 64-bit hash (seed folded in as an
+        # extra hashed column); grouping on BOTH longs is the 128-bit key
+        h2 = F.when(
+            ~empty, F.xxhash64(F.lit("seed2:"), "minhash", "simhash", "n_shingles")
+        ).otherwise(F.xxhash64(F.lit("empty2:"), id_col))
+        cols.append(h2.alias("sig_h2"))
+        grp.append("sig_h2")
+    m = sigs.select(*cols)
+    reps = m.groupBy(*grp).agg(F.min("url").alias("rep"))
+    return m.join(reps, grp).select("url", "rep")
 
 
 def signature_stage(

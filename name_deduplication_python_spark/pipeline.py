@@ -68,10 +68,31 @@ class DedupConfig:
     # and cuts LSH work by the corpus dup rate; clusters are identical
     # (rep = group min id; parity-tested).
     exact_collapse: bool = True
+    # table_format: the stage-table storage format — 'parquet' (default;
+    # plain dirs + _SUCCESS markers, what the sandbox exercises) or
+    # 'iceberg' (north_star's 'Iceberg-style tables': path-based Iceberg
+    # tables via the iceberg-spark runtime jars; same layout, snapshot
+    # commits instead of _SUCCESS). Every stage write/read goes through
+    # _write_stage/_read_stage, so the format is a config flip, not a
+    # rewrite; without the runtime jars the 'iceberg' branch raises a
+    # clear error at first write.
+    table_format: str = "parquet"
+    # collapse_hash_bits: width of the signature-collapse content hash
+    # (operators.signatures.signature_collapse): 64 (one xxhash64 — fine
+    # to ~10^9 docs, collision odds n^2/2^65) or 128 (two seeded xxhash64
+    # columns — the 10^12-doc setting, odds n^2/2^129). Clusters are
+    # identical under both widths (parity-tested); the knob is part of
+    # the config fingerprint so a width change never reuses checkpoints.
+    collapse_hash_bits: int = 64
     extra: dict = field(default_factory=dict)
 
 
-def _done(path: str) -> bool:
+def _done(path: str, table_format: str = "parquet") -> bool:
+    """Stage-complete probe. Parquet stages commit atomically via Spark's
+    _SUCCESS marker; an Iceberg table's commit marker is its metadata
+    version file (snapshot commit — the same atomicity contract)."""
+    if table_format == "iceberg":
+        return os.path.exists(os.path.join(path, "metadata", "version-hint.text"))
     return os.path.exists(os.path.join(path, "_SUCCESS"))
 
 
@@ -118,6 +139,12 @@ def _lineage_rows(path: str, stage: str) -> list[dict]:
     import pyarrow.parquet as pq
 
     rows = []
+    # parquet stages keep part files at the top level; Iceberg tables
+    # keep them under data/ (the footer-walk contract is identical)
+    if not any(n.endswith(".parquet") for n in os.listdir(path)):
+        data_dir = os.path.join(path, "data")
+        if os.path.isdir(data_dir):
+            path = data_dir
     part_files = sorted(n for n in os.listdir(path) if n.endswith(".parquet"))
     for i, name in enumerate(part_files):  # ids contiguous from 0 (no _SUCCESS/.crc gaps)
         meta = pq.read_metadata(os.path.join(path, name))
@@ -175,13 +202,44 @@ class DedupPipeline:
     def _path(self, stage: str) -> str:
         return os.path.join(self.workdir, stage)
 
+    def _stage_done(self, stage: str) -> bool:
+        return _done(self._path(stage), self.cfg.table_format)
+
+    def _write_stage(self, df: DataFrame, path: str) -> None:
+        """THE format dispatch point: every stage table is written here
+        and read via _read_stage, so the north_star's 'Iceberg-style
+        tables' is a DedupConfig flip (table_format='iceberg'), not a
+        rewrite. The iceberg branch targets a path-based (HadoopTables)
+        table — same workdir layout, snapshot-commit atomicity; it needs
+        the iceberg-spark runtime jar on the session (absent in this
+        sandbox, so the branch raises a clear error instead of silently
+        writing parquet)."""
+        if self.cfg.table_format == "iceberg":
+            try:
+                df.write.format("iceberg").mode("overwrite").save(path)
+            except Exception as e:  # jar absent: surface the real cause
+                raise RuntimeError(
+                    "table_format='iceberg' needs the iceberg-spark-runtime "
+                    "jar on the Spark session (spark.jars.packages="
+                    "org.apache.iceberg:iceberg-spark-runtime-...); "
+                    f"underlying error: {e}"
+                ) from e
+        else:
+            df.write.mode("overwrite").parquet(path)
+
+    def _read_stage(self, stage: str) -> DataFrame:
+        path = self._path(stage)
+        if self.cfg.table_format == "iceberg":
+            return self.spark.read.format("iceberg").load(path)
+        return self.spark.read.parquet(path)
+
     def _materialize(self, stage: str, df: DataFrame) -> DataFrame:
         """Write stage output + lineage unless already done; read it back
         (so downstream plans start from the checkpoint, not the lineage)."""
         path = self._path(stage)
-        if not _done(path):
+        if not self._stage_done(stage):
             t0 = time.time()
-            df.write.mode("overwrite").parquet(path)
+            self._write_stage(df, path)
             self.stage_seconds[stage] = time.time() - t0
             rows = _lineage_rows(path, stage)
             # lineage rows are driver-side metadata (a handful per stage):
@@ -205,7 +263,7 @@ class DedupPipeline:
                 ),
             )
             pq.write_table(tbl, os.path.join(mdir, f"{stage}.parquet"))
-        return self.spark.read.parquet(path)
+        return self._read_stage(stage)
 
     # ---- stages ----------------------------------------------------------
 
@@ -215,11 +273,14 @@ class DedupPipeline:
         rather than derived: two jobs consume it (edges rep-filter,
         clusters expansion) — at 10^12 docs one ~50 B/doc write+scan beats
         recomputing the (sig_hash, url) shuffle+join twice."""
-        if _done(self._path("exact_map")):
-            return self.spark.read.parquet(self._path("exact_map"))
+        if self._stage_done("exact_map"):
+            return self._read_stage("exact_map")
         from .operators.signatures import signature_collapse
 
-        return self._materialize("exact_map", signature_collapse(sigs))
+        return self._materialize(
+            "exact_map",
+            signature_collapse(sigs, hash_bits=self.cfg.collapse_hash_bits),
+        )
 
     @staticmethod
     def _rep_sigs(sigs_u: DataFrame, exact_map: DataFrame | None) -> DataFrame:
@@ -239,13 +300,13 @@ class DedupPipeline:
         cfg = self.cfg
         if cfg.fuse_stages:
             return self._run_fused(pages)
-        if _done(self._path("extracted")):
-            extracted = self.spark.read.parquet(self._path("extracted"))
+        if self._stage_done("extracted"):
+            extracted = self._read_stage("extracted")
         else:
             extracted = self._materialize("extracted", extract_stage(pages))
 
-        if _done(self._path("signatures")):
-            sigs = self.spark.read.parquet(self._path("signatures"))
+        if self._stage_done("signatures"):
+            sigs = self._read_stage("signatures")
         else:
             sigs = self._materialize(
                 "signatures",
@@ -267,8 +328,8 @@ class DedupPipeline:
         # xxhash64 columns) — same plan shape.
         sigs_u = sigs.withColumn("uid", F.xxhash64("url"))
         exact_map = self._exact_map_stage(sigs) if cfg.exact_collapse else None
-        if _done(self._path("pairs")):
-            pairs = self.spark.read.parquet(self._path("pairs"))
+        if self._stage_done("pairs"):
+            pairs = self._read_stage("pairs")
         else:
             keys = band_keys(
                 self._rep_sigs(sigs_u, exact_map),
@@ -296,8 +357,8 @@ class DedupPipeline:
             with open(os.path.join(self.workdir, "bucket_stats.json"), "w") as f:
                 json.dump({k: float(v) for k, v in stats.items()}, f)
 
-        if _done(self._path("edges")):
-            edges = self.spark.read.parquet(self._path("edges"))
+        if self._stage_done("edges"):
+            edges = self._read_stage("edges")
         else:
             edges = self._materialize(
                 "edges",
@@ -317,7 +378,7 @@ class DedupPipeline:
             # separate output table — sharing a boilerplate run does NOT
             # make two pages near-duplicates, so these pairs are reported
             # for span-removal jobs rather than merged into clusters
-            if not _done(self._path("substring_pairs")):
+            if not self._stage_done("substring_pairs"):
                 from .operators.substring import substring_pairs
 
                 self._materialize(
@@ -330,8 +391,8 @@ class DedupPipeline:
                     ),
                 )
 
-        if _done(self._path("clusters")):
-            clusters = self.spark.read.parquet(self._path("clusters"))
+        if self._stage_done("clusters"):
+            clusters = self._read_stage("clusters")
         else:
             # edge count from the materialized stage's parquet footers —
             # spares CC its count-probe job
@@ -354,7 +415,7 @@ class DedupPipeline:
                 )
             clusters = self._materialize("clusters", clusters_df)
 
-        if self.cfg.extra.get("audit") and not _done(self._path("audit")):
+        if self.cfg.extra.get("audit") and not self._stage_done("audit"):
             # post-hoc adversarial verification (R1-R5 analog): re-check a
             # sample of kept edges against exact shingle Jaccard
             from .operators.audit import audit_edges
@@ -390,8 +451,8 @@ class DedupPipeline:
         stages — that is the documented tradeoff.
         """
         cfg = self.cfg
-        if _done(self._path("signatures")):
-            sigs = self.spark.read.parquet(self._path("signatures"))
+        if self._stage_done("signatures"):
+            sigs = self._read_stage("signatures")
         else:
             sigs = self._materialize(
                 "signatures",
@@ -404,8 +465,8 @@ class DedupPipeline:
             )
 
         exact_map = self._exact_map_stage(sigs) if cfg.exact_collapse else None
-        if _done(self._path("edges")):
-            edges = self.spark.read.parquet(self._path("edges"))
+        if self._stage_done("edges"):
+            edges = self._read_stage("edges")
         else:
             # same 8-byte surrogate-uid keying as the staged path (see
             # run() comment); urls re-enter via the verify join relabel
@@ -443,8 +504,8 @@ class DedupPipeline:
             with open(os.path.join(self.workdir, "bucket_stats.json"), "w") as f:
                 json.dump({k: float(v) for k, v in stats.items()}, f)
 
-        if _done(self._path("clusters")):
-            clusters = self.spark.read.parquet(self._path("clusters"))
+        if self._stage_done("clusters"):
+            clusters = self._read_stage("clusters")
         else:
             n_edges = sum(
                 r["n_rows"] for r in _lineage_rows(self._path("edges"), "")
@@ -473,7 +534,7 @@ class DedupPipeline:
     def summary(self) -> dict:
         """A5/A6 analog (/root/reference/analysis_engine.py:649-663):
         duplicate/unique/total counts from the clusters table."""
-        clusters = self.spark.read.parquet(self._path("clusters"))
+        clusters = self._read_stage("clusters")
         agg = (
             clusters.groupBy("cluster_id")
             .agg(F.count("*").alias("sz"))

@@ -211,3 +211,84 @@ def test_fused_pipeline_resumes_from_signatures(spark, tmp_path):
     a = first.sort_values("url").reset_index(drop=True)
     b = second.sort_values("url").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_fused_and_staged_clusters_identical(spark, tmp_path):
+    """fuse_stages claims 'results are identical (same kernels, same
+    plans past the fusion point)' — assert it: the fused 3-job layout and
+    the staged 5-stage layout must produce the same (url, cluster_id) map
+    on the same corpus."""
+    pages, _ = generate_corpus(n_base=100, seed=71)
+    df = corpus_to_spark(spark, pages).cache()
+    fused = DedupPipeline(
+        spark, str(tmp_path / "f"), DedupConfig(fuse_stages=True)
+    ).run(df)
+    staged = DedupPipeline(
+        spark, str(tmp_path / "s"), DedupConfig(fuse_stages=False)
+    ).run(df)
+    a = {r.url: r.cluster_id for r in fused.collect()}
+    b = {r.url: r.cluster_id for r in staged.collect()}
+    assert a == b
+
+
+def test_collapse_hash_width_parity(spark, tmp_path):
+    """collapse_hash_bits=128 (the 10^12-doc setting) must produce the
+    same collapse groups and final clusters as the 64-bit default when
+    neither collides — i.e. always at test scale."""
+    import pandas as pd
+
+    from name_deduplication_python_spark.operators.signatures import (
+        signature_collapse,
+        signature_stage,
+    )
+
+    pages, _ = generate_corpus(n_base=80, seed=81)
+    fam = pages.iloc[:1].copy()
+    clones = pd.concat([fam] * 10, ignore_index=True)
+    clones["url"] = [f"https://example.org/c128/{i:03d}" for i in range(10)]
+    pages = pd.concat([pages, clones], ignore_index=True)
+    df = corpus_to_spark(spark, pages).cache()
+
+    from name_deduplication_python_spark.operators.extract import extract_stage
+
+    sigs = signature_stage(extract_stage(df)).cache()
+    m64 = {r.url: r.rep for r in signature_collapse(sigs, hash_bits=64).collect()}
+    m128 = {r.url: r.rep for r in signature_collapse(sigs, hash_bits=128).collect()}
+    assert m64 == m128
+    assert len(set(m64.values())) < len(m64)  # the clone family collapsed
+
+    c64 = DedupPipeline(
+        spark, str(tmp_path / "w64"), DedupConfig(collapse_hash_bits=64)
+    ).run(df)
+    c128 = DedupPipeline(
+        spark, str(tmp_path / "w128"), DedupConfig(collapse_hash_bits=128)
+    ).run(df)
+    assert {(r.url, r.cluster_id) for r in c64.collect()} == {
+        (r.url, r.cluster_id) for r in c128.collect()
+    }
+    # the knob is fingerprinted: same workdir + different width refuses
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="different DedupConfig"):
+        DedupPipeline(
+            spark, str(tmp_path / "w64"), DedupConfig(collapse_hash_bits=128)
+        )
+
+
+def test_table_format_dispatch(spark, tmp_path):
+    """table_format is the Iceberg swap point: 'parquet' (default) resumes
+    exactly as before; 'iceberg' without the runtime jars fails with a
+    clear actionable error at the first stage write, and is part of the
+    config fingerprint."""
+    import pytest as _pytest
+
+    pages, _ = generate_corpus(n_base=30, seed=91)
+    df = corpus_to_spark(spark, pages).cache()
+    wd = str(tmp_path / "ice")
+    with _pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        DedupPipeline(
+            spark, wd, DedupConfig(table_format="iceberg")
+        ).run(df)
+    # same workdir, parquet config: fingerprint mismatch refuses
+    with _pytest.raises(ValueError, match="different DedupConfig"):
+        DedupPipeline(spark, wd, DedupConfig())
