@@ -43,6 +43,12 @@ INTENDED_COLS = [
     "contact_number",
 ]
 
+# informational columns the officials table additionally projects
+# (/root/reference/data_utils.py:297,311 — Position, Barangay ride the
+# intended schema when is_officials_file; they carry through matching
+# untouched and surface in report output)
+OFFICIALS_COLS = ["position", "barangay"]
+
 COLUMN_ALIASES = {
     "first_name": ["firstname", "fname", "first", "givenname"],
     "middle_name": ["middlename", "mname", "middle", "middleinitial"],
@@ -53,6 +59,8 @@ COLUMN_ALIASES = {
     "sex": ["sex", "gender"],
     "contact_number": ["contactnumber", "cellphoneno", "mobile", "phone", "contactno"],
     "full_name": ["fullname", "name", "completename"],
+    "position": ["position", "designation"],
+    "barangay": ["barangay", "brgy"],
 }
 
 
@@ -60,10 +68,14 @@ def _norm_header(h: str) -> str:
     return h.strip().replace("_", "").replace(" ", "").replace("/", "").lower()
 
 
-def remap_columns(df: DataFrame, keep: list[str] | None = None) -> DataFrame:
+def remap_columns(
+    df: DataFrame, keep: list[str] | None = None, officials: bool = False
+) -> DataFrame:
     """Normalize arbitrary input headers onto the fixed schema; missing
     columns materialize as '' (P1). ``keep`` columns pass through
-    untouched (lineage ids)."""
+    untouched (lineage ids). ``officials=True`` additionally projects the
+    officials table's informational columns (position, barangay — the
+    reference's is_officials_file branch)."""
     keep = keep or []
     resolved: dict[str, str] = {}
     for col in df.columns:
@@ -74,7 +86,8 @@ def remap_columns(df: DataFrame, keep: list[str] | None = None) -> DataFrame:
             if n == _norm_header(target) or n in aliases:
                 resolved.setdefault(target, col)
     out = []
-    for target in INTENDED_COLS:
+    targets = INTENDED_COLS + (OFFICIALS_COLS if officials else [])
+    for target in targets:
         if target in resolved:
             out.append(F.coalesce(F.col(resolved[target]), F.lit("")).alias(target))
         else:
@@ -769,13 +782,22 @@ def link_tables(
         edges = e if edges is None else edges.unionByName(e)
 
     if officials is not None:
-        fo = normalize_records(remap_columns(officials, keep=[id_col]))
+        # officials carry position/barangay through matching untouched
+        # (ref data_utils.py:297,311); the user side gets them as nulls
+        # in the union so the feature schema stays aligned
+        fo = normalize_records(
+            remap_columns(officials, keep=[id_col], officials=True)
+        )
         pairs = candidate_pairs_two_tables_names(
             ku, blocking_keys(fo, id_col, canon)
         )
         add(
             score_name_pairs(
-                pairs, fu.unionByName(fo), id_col, canon, lenient=True
+                pairs,
+                fu.unionByName(fo, allowMissingColumns=True),
+                id_col,
+                canon,
+                lenient=True,
             ),
             "user_official",
         )

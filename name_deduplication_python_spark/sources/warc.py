@@ -40,37 +40,62 @@ from pyspark.sql import DataFrame, SparkSession
 _KEEP_TYPES = {"response", "conversion"}
 
 
-def _iter_warc_records(raw: bytes) -> Iterator[tuple[dict, bytes]]:
-    """Yield (headers, payload) per WARC record, walking by Content-Length.
+def _iter_warc_stream(fobj) -> Iterator[tuple[dict, bytes]]:
+    """Yield (headers, payload) per WARC record from a FILE-LIKE stream,
+    walking by Content-Length — memory is O(largest record), never
+    O(archive) (a ~1 GB .gz member decompresses to multi-GB; the round-3
+    reader materialized all of it per task).
 
-    Handles multi-member gzip (each record its own member — the Common
-    Crawl layout) and plain concatenated WARC bytes.
-    """
-    if raw[:2] == b"\x1f\x8b":
-        raw = gzip.GzipFile(fileobj=io.BytesIO(raw)).read()
-    buf = memoryview(raw)
-    pos = 0
-    n = len(raw)
-    while pos < n:
-        # skip inter-record blank lines
-        while pos < n and raw[pos : pos + 2] in (b"\r\n", b"\n\n"):
-            pos += 2
-        if pos >= n or not raw[pos : pos + 5] == b"WARC/":
-            break
-        hdr_end = raw.find(b"\r\n\r\n", pos)
-        if hdr_end < 0:
-            break
+    Robustness: a record with a missing/unparseable Content-Length cannot
+    be skipped exactly (its payload end is unknown), so the walker drops
+    it and RESYNCs at the next blank-line + 'WARC/' boundary instead of
+    failing the whole archive task; a truncated final record ends the
+    stream."""
+    at_boundary = True
+    while True:
+        line = fobj.readline()
+        if not line:
+            return
+        if line in (b"\r\n", b"\n"):
+            at_boundary = True
+            continue
+        if not (at_boundary and line.startswith(b"WARC/")):
+            # payload garbage after a dropped record: keep scanning
+            at_boundary = False
+            continue
         headers: dict[str, str] = {}
-        for line in bytes(buf[pos:hdr_end]).split(b"\r\n")[1:]:
-            k, _, v = line.partition(b":")
-            if _:
+        while True:
+            hl = fobj.readline()
+            if not hl or hl in (b"\r\n", b"\n"):
+                break
+            k, sep, v = hl.partition(b":")
+            if sep:
                 headers[k.strip().decode("ascii", "replace").lower()] = (
                     v.strip().decode("utf-8", "replace")
                 )
-        clen = int(headers.get("content-length", "0"))
-        body_start = hdr_end + 4
-        yield headers, bytes(buf[body_start : body_start + clen])
-        pos = body_start + clen
+        try:
+            clen = int(headers.get("content-length", ""))
+        except ValueError:
+            at_boundary = False  # unskippable: resync scan
+            continue
+        payload = fobj.read(clen)
+        if len(payload) < clen:
+            return  # truncated archive tail
+        yield headers, payload
+        at_boundary = False  # next record follows the \r\n\r\n separator
+
+
+def _iter_warc_records(raw: bytes) -> Iterator[tuple[dict, bytes]]:
+    """Yield (headers, payload) per WARC record from archive bytes.
+
+    Handles multi-member gzip (each record its own member — the Common
+    Crawl layout; GzipFile walks concatenated members and decompresses
+    INCREMENTALLY as the stream is read) and plain WARC bytes."""
+    if raw[:2] == b"\x1f\x8b":
+        fobj = io.BufferedReader(gzip.GzipFile(fileobj=io.BytesIO(raw)))
+    else:
+        fobj = io.BytesIO(raw)
+    yield from _iter_warc_stream(fobj)
 
 
 def _http_body(payload: bytes) -> bytes:

@@ -559,34 +559,63 @@ def test_display_name_expr(spark):
     assert got == ["Ma. Luisa Reyes", "Jose Santos", "1990", "Dela Cruz"]
 
 
-def test_officials_extra_columns_pass_through(spark):
-    """Reference officials tables carry extra projected columns (Position,
-    Barangay — data_utils.py:297,311); the engine analog is keep= pass-
-    through: extra columns survive remap+normalize and can ride into
-    reports."""
+def test_officials_extra_columns_first_class(spark):
+    """Reference officials tables project extra columns (Position,
+    Barangay — data_utils.py:297,311). remap_columns(officials=True) maps
+    them FIRST-CLASS (alias-resolved, '' when absent), they survive
+    normalize_records, and they ride into report output via the feature
+    join."""
     import pandas as pd
 
     from name_deduplication_python_spark.operators.names import (
+        link_tables,
         normalize_records,
         remap_columns,
     )
 
+    # alias-form headers, as a real officials CSV would carry them
     rows = pd.DataFrame([
-        dict(rid="o1", first_name="Jose", last_name="Mercado",
-             middle_name="", birthdate="1990-01-15", city="Boac", sex="M",
-             suffix="", position="Chairman", barangay="Poblacion"),
-        dict(rid="o2", first_name="Ana", last_name="Reyes", middle_name="",
-             birthdate="1985-06-02", city="Gasan", sex="F", suffix="",
-             position="Kagawad", barangay="Ipil"),
+        dict(rid="official_1", FirstName="Jose", LastName="Mercado",
+             MiddleName="", Birthdate="1990-01-15", City="Boac", Sex="M",
+             Position="Chairman", Brgy="Poblacion"),
+        dict(rid="official_2", FirstName="Ana", LastName="Reyes",
+             MiddleName="", Birthdate="1985-06-02", City="Gasan", Sex="F",
+             Position="Kagawad", Brgy="Ipil"),
     ])
     feats = normalize_records(
-        remap_columns(
-            spark.createDataFrame(rows), keep=["rid", "position", "barangay"]
-        )
+        remap_columns(spark.createDataFrame(rows), keep=["rid"], officials=True)
     )
     got = {r.rid: (r.position, r.barangay) for r in feats.collect()}
     assert got == {
-        "o1": ("Chairman", "Poblacion"),
-        "o2": ("Kagawad", "Ipil"),
+        "official_1": ("Chairman", "Poblacion"),
+        "official_2": ("Kagawad", "Ipil"),
     }
     assert "_fn" in feats.columns  # normalized features still present
+    # a table without the columns materializes them as '' (schema parity)
+    bare = remap_columns(
+        spark.createDataFrame(
+            pd.DataFrame([dict(rid="o3", FirstName="X", LastName="Y")])
+        ),
+        keep=["rid"],
+        officials=True,
+    )
+    assert {"position", "barangay"} <= set(bare.columns)
+
+    # end-to-end: a user-official match's report row carries both columns
+    user = spark.createDataFrame(pd.DataFrame([
+        dict(rid="user_1", first_name="Jose", last_name="Mercado",
+             middle_name="", birthdate="1990-01-15", city="Boac", sex="M",
+             suffix=""),
+    ]))
+    edges, clusters = link_tables(spark, user, officials=spark.createDataFrame(rows))
+    from pyspark.sql import functions as F
+
+    report = clusters.join(
+        feats.select("rid", "position", "barangay"),
+        clusters["url"] == feats["rid"],
+        "left",
+    )
+    by_url = {r.url: (r.position, r.barangay) for r in report.collect()}
+    assert by_url["official_1"] == ("Chairman", "Poblacion")
+    lab = {r.url: r.cluster_id for r in clusters.collect()}
+    assert lab["user_1"] == lab["official_1"]

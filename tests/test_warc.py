@@ -96,3 +96,64 @@ def test_warc_feeds_the_pipeline(spark, tmp_path):
         "https://example.org/c",
     }
     assert got["https://example.org/c"] >= 1  # conversion text signed
+
+
+def test_warc_malformed_record_is_skipped_and_stream_resyncs(spark, tmp_path):
+    """A record with an unparseable Content-Length cannot be walked past
+    exactly; the reader must drop it, resync at the next blank-line +
+    'WARC/' boundary, and keep every well-formed record — not fail the
+    whole archive task."""
+    bad = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: https://example.org/bad\r\n"
+        b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        b"Content-Length: oops\r\n"
+        b"\r\n"
+        b"HTTP/1.1 200 OK\r\n\r\nWARC/ looks like a header mid-payload\r\n"
+        b"\r\n\r\n"
+    )
+    good_tail = _warc_record(
+        "response",
+        "https://example.org/good",
+        "2024-05-06T07:08:09Z",
+        _http_response(b"<html>still here</html>"),
+    )
+    raw = _build_warc() + bad + good_tail
+    (tmp_path / "m.warc").write_bytes(raw)
+    (tmp_path / "m.warc.gz").write_bytes(gzip.compress(raw))
+    df = read_warc(spark, str(tmp_path)).cache()
+    urls = [r.url for r in df.collect()]
+    assert urls.count("https://example.org/bad") == 0
+    # all 4 good records survive, in both plain and gzip archives
+    assert urls.count("https://example.org/good") == 2
+    assert df.count() == 8
+
+
+def test_warc_streaming_memory_is_bounded():
+    """The record walker must consume the gzip stream incrementally —
+    never materialize the whole decompressed archive (ADVICE r3: a ~1 GB
+    .gz member yields multi-GB bytes). Proxy assertion: records arrive
+    from a stream whose read calls are bounded by record size."""
+    import gzip as _gz
+    import io
+
+    from name_deduplication_python_spark.sources.warc import _iter_warc_stream
+
+    raw = _build_warc()
+
+    class MaxReadTracker(io.BufferedReader):
+        max_read = 0
+
+        def read(self, n=-1):
+            assert n >= 0, "unbounded read() materializes the archive"
+            MaxReadTracker.max_read = max(MaxReadTracker.max_read, n)
+            return super().read(n)
+
+    fobj = MaxReadTracker(_gz.GzipFile(fileobj=io.BytesIO(_gz.compress(raw))))
+    recs = list(_iter_warc_stream(fobj))
+    assert len(recs) == 5
+    largest = max(
+        int(h["content-length"]) for h, _ in recs
+    )
+    assert MaxReadTracker.max_read <= largest
