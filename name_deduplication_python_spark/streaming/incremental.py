@@ -34,6 +34,12 @@ from ..schemas import WEB_PAGES
 
 
 class IncrementalDedup:
+    # the band-key store is hive-partitioned by bp = pmod(bh, N) inside
+    # each epoch dir, so a micro-batch's store read can PRUNE to the
+    # partitions its own band hashes land in (PartitionFilters at the
+    # file listing — untouched store files are never opened)
+    STORE_KEY_PARTS = 64
+
     def __init__(self, spark: SparkSession, store_dir: str, config: dict | None = None):
         self.spark = spark
         self.store = store_dir
@@ -58,6 +64,40 @@ class IncrementalDedup:
         )
         return old_sigs.join(touched, "url", "left_semi").drop("epoch")
 
+    def _pruned_store_keys(
+        self, old_keys: DataFrame, new_keys: DataFrame
+    ) -> DataFrame:
+        """Store band keys restricted to the BATCH's bucket set — the key
+        side of the O(touched) contract (round 3 fixed the verify-payload
+        side; the key join still shuffled the ENTIRE store by bh every
+        micro-batch: same complexity class as the round-2 finding, smaller
+        constant).
+
+        Two pruning layers, both O(batch) to compute:
+          1. partition pruning: the batch's distinct bp = pmod(bh, N)
+             values become a static IN filter on the store's partition
+             column — untouched store FILES are skipped at listing time
+             (a small crawl batch touches few of the N=64 partitions);
+          2. row pruning: a broadcast left-semi join on the batch's
+             distinct bh drops non-colliding rows inside the scan stage —
+             the store is never shuffled; only rows in TOUCHED buckets
+             reach the candidate join's exchange.
+        """
+        batch_bh = new_keys.select("bh").distinct()
+        parts = [
+            r.bp
+            for r in batch_bh.select(
+                F.pmod("bh", F.lit(self.STORE_KEY_PARTS)).alias("bp")
+            )
+            .distinct()
+            .collect()
+        ]
+        return (
+            old_keys.where(F.col("bp").isin(parts))
+            .join(F.broadcast(batch_bh), "bh", "left_semi")
+            .drop("bp")
+        )
+
     def _read_store(self, sub: str) -> DataFrame | None:
         path = os.path.join(self.store, sub)
         try:
@@ -69,13 +109,15 @@ class IncrementalDedup:
     def process_batch(self, pages: DataFrame, epoch_id: int) -> None:
         """foreachBatch body — also callable directly for unit tests.
 
-        Band keys are PERSISTED per epoch (store/band_keys/epoch=N) and
-        the new batch's keys join directly against the stored key table.
-        Round-1 recomputed band_keys over the ENTIRE accumulated signature
-        store every micro-batch — a 25x explode + window shuffle of the
-        whole corpus per epoch. Now historical epochs are written once and
-        only scanned (columnar, 3 narrow columns); per-epoch compute is
-        O(batch + matched buckets).
+        Band keys are PERSISTED per epoch (store/band_keys/epoch=N,
+        hive-partitioned by bp = pmod(bh, STORE_KEY_PARTS)) and the new
+        batch's keys join against the stored key table through TWO pruning
+        layers (see _pruned_store_keys): partition pruning skips untouched
+        store files at listing time, and a broadcast semi-join on the
+        batch's bh set drops non-colliding rows inside the scan — the
+        store is never shuffled; per-epoch shuffle cost is O(batch +
+        touched buckets). (Round 1 recomputed band_keys over the whole
+        corpus per epoch; round 3 still shuffled the full key store.)
 
         Replay exactness: all store reads are filtered to ``epoch <
         epoch_id``. A crash after the band_keys/epoch=N write but before
@@ -111,7 +153,9 @@ class IncrementalDedup:
         all_sigs = new_sigs
         old_keys = self._read_store("band_keys")
         if old_keys is not None:
-            old_keys = old_keys.where(F.col("epoch") < epoch_id)
+            old_keys = self._pruned_store_keys(
+                old_keys.where(F.col("epoch") < epoch_id), new_keys
+            )
             cross = candidate_pairs_two_table(new_keys, old_keys)
             pairs = pairs.unionByName(cross).distinct()
             # pairs are reused twice (touched-id semi-join + verify) and are
@@ -134,9 +178,16 @@ class IncrementalDedup:
         edges.write.mode("overwrite").parquet(
             os.path.join(self.store, "edges", f"epoch={epoch_id}")
         )
-        new_keys.write.mode("overwrite").parquet(
-            os.path.join(self.store, "band_keys", f"epoch={epoch_id}")
+        # keys land hive-partitioned by bp inside the epoch dir so future
+        # epochs' reads prune to their own bucket partitions (see
+        # _pruned_store_keys); repartition keeps one file per bp partition
+        # instead of tasks x partitions small files
+        keyed = new_keys.withColumn(
+            "bp", F.pmod("bh", F.lit(self.STORE_KEY_PARTS))
         )
+        keyed.repartition(F.col("bp")).write.mode("overwrite").partitionBy(
+            "bp"
+        ).parquet(os.path.join(self.store, "band_keys", f"epoch={epoch_id}"))
         # signatures written LAST: their _SUCCESS is the epoch's idempotence
         # marker, so a crash mid-epoch replays the whole epoch (overwrite
         # mode makes the replay exact)

@@ -227,3 +227,46 @@ def test_windowed_event_counts_streaming_plan(spark, tmp_path):
     )
     assert len(merged) == len(got)
     assert (merged["n_events_s"] == merged["n_events_b"]).all()
+
+
+def test_store_key_join_is_pruned_to_touched_buckets(spark, tmp_path):
+    """Key-side O(touched) contract (the round-3 gap: the verify PAYLOAD
+    join was pruned but the KEY join still shuffled the entire store per
+    epoch): the store read must (1) partition-prune to the batch's
+    bp = pmod(bh, N) set at file-listing time, (2) semi-join-filter rows
+    inside the scan via a broadcast of the batch's bh set — never
+    shuffling the store."""
+    from pyspark.sql import functions as F
+
+    pages, _ = generate_corpus(n_base=60, seed=37)
+    df = corpus_to_spark(spark, pages).cache()
+    store = str(tmp_path / "store")
+    inc = IncrementalDedup(spark, store)
+    inc.process_batch(df, 0)
+
+    old_keys = spark.read.parquet(os.path.join(store, "band_keys"))
+    n_store = old_keys.count()
+    # a synthetic batch whose keys hit exactly 3 store buckets
+    some_bh = [r.bh for r in old_keys.select("bh").distinct().limit(3).collect()]
+    new_keys = spark.createDataFrame(
+        [(f"new-{i}", bh) for i, bh in enumerate(some_bh)], ["url", "bh"]
+    )
+    pruned = inc._pruned_store_keys(old_keys, new_keys)
+    got = pruned.collect()
+    assert {r.bh for r in got} == set(some_bh)
+    want = old_keys.where(F.col("bh").isin(some_bh)).count()
+    assert len(got) == want < n_store
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # partition pruning reached the file listing
+    assert "PartitionFilters" in plan and "bp#" in plan.split("PartitionFilters", 1)[1][:200]
+    # the store side is filtered in-scan via a broadcast semi join — the
+    # ONLY hash exchange allowed is the batch-side distinct feeding the
+    # BroadcastExchange (O(batch)); the store subtree must reach the join
+    # shuffle-free
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    bx = plan.index("BroadcastExchange")
+    assert all(
+        i > bx
+        for i in range(len(plan))
+        if plan.startswith("Exchange hashpartitioning", i)
+    ), plan
