@@ -14,8 +14,10 @@ Scaling mode (BASELINE.md protocol — the sandbox stand-in for N vs 4N
 executors):  python bench.py --scaling
 runs the same job in fresh subprocesses at local[2] and local[8] (the
 highest pairing whose EP host-ceiling probe approaches 1.0 on this
-oversubscribed VM) on the 2.72M-page corpus and writes BENCH/BASELINE.md
-with both throughputs + scaling efficiency + the ceiling probe.
+oversubscribed VM) on the 5.44M-page corpus and writes BENCH/BASELINE.md
+with throughputs + MEAN-of-runs and best-run scaling efficiency + the
+ceiling probe. Every bench JSON also carries planted-family recall /
+band-precision fields (see _planted_family_stats).
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS   (default 32).
@@ -95,6 +97,59 @@ def _corpus_parquet(spark, n_docs: int) -> tuple[str, int]:
     return cache, n_pages
 
 
+def _corpus_truth(corpus_path: str, n_docs: int):
+    """Planted truth pairs for the cached corpus (cached alongside it as
+    an underscore-prefixed parquet — invisible to Spark dir reads)."""
+    import pandas as pd
+
+    n_base, lo, hi = _corpus_spec(n_docs)
+    cache = os.path.join(corpus_path, "_truth.parquet")
+    if not os.path.exists(cache):
+        from name_deduplication_python_spark.sources.corpus import (
+            corpus_truth_pairs,
+        )
+
+        corpus_truth_pairs(
+            n_base, seed=42, min_tokens=lo, max_tokens=hi
+        ).to_parquet(cache)
+    return pd.read_parquet(cache)
+
+
+def _planted_family_stats(workdir: str, corpus_path: str, n_docs: int) -> dict:
+    """Driver-visible recall/precision metrics (VERDICT r3 #8): planted-
+    family cluster recall per tier + the near50 false-merge rate, computed
+    from the materialized clusters table — the same quantities the pytest
+    gates assert, emitted per bench run so regressions show round-over-
+    round. near50 (J~0.5) sits far below theta=0.8: its pairs clustering
+    together would be precision loss, so its SEPARATION is the precision
+    proxy (the estimator-band precision gate's corpus-level counterpart)."""
+    import glob
+
+    import pandas as pd
+
+    truth = _corpus_truth(corpus_path, n_docs)
+    files = glob.glob(os.path.join(workdir, "clusters", "*.parquet"))
+    cl = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+    lab = dict(zip(cl["url"], cl["cluster_id"]))
+    out = {}
+    dup_kinds = ("exact", "near95", "near90", "near80")
+    n_dup = n_hit = 0
+    for kind, sub in truth.groupby("kind"):
+        same = sum(
+            lab.get(a) == lab.get(b) and lab.get(a) is not None
+            for a, b in zip(sub["src"], sub["dst"])
+        )
+        if kind in dup_kinds:
+            out[f"recall_{kind}"] = round(same / max(len(sub), 1), 4)
+            n_dup += len(sub)
+            n_hit += same
+        elif kind == "near50":
+            out["near50_false_merge_rate"] = round(same / max(len(sub), 1), 4)
+    out["recall"] = round(n_hit / max(n_dup, 1), 4)
+    out["band_precision"] = round(1.0 - out.get("near50_false_merge_rate", 0.0), 4)
+    return out
+
+
 def run_bench() -> dict:
     from name_deduplication_python_spark.pipeline import DedupConfig, DedupPipeline
     from name_deduplication_python_spark.plans.queries import QUERIES
@@ -135,6 +190,13 @@ def run_bench() -> dict:
             QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
             timings[name] = round(time.time() - t, 3)
 
+    # planted-family recall/precision (computed AFTER the timed e2e;
+    # driver-side pandas over the 42 MB clusters table + cached truth)
+    try:
+        family_stats = _planted_family_stats(workdir, corpus_path, n_docs)
+    except Exception as e:  # never fail the bench line over metrics
+        family_stats = {"error": str(e)[:200]}
+
     docs_per_sec = n_pages / e2e
     result = {
         "metric": "dedup_docs_per_sec",
@@ -149,6 +211,7 @@ def run_bench() -> dict:
         "config": "shingle_k=5 num_hashes=128 bands=25 rows=5 simhash_r=3 "
         f"theta=0.8 fused={int(fused)}",
         "bucket_stats": bucket_stats,
+        **family_stats,
     }
     spark.stop()
     return result
@@ -196,7 +259,7 @@ def run_scaling() -> None:
     so each level runs REPEATS times and the best run counts — standard
     noisy-neighbor practice; per-run steal%% is recorded for transparency.
     """
-    repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "4"))
+    repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "3"))
     # N=2 vs 4N=8: the highest pairing whose EP probe ceiling is near 1.0
     # on this oversubscribed sandbox VM (measured: 2->8 procs 0.83-0.94,
     # 4->16 0.70-0.80, 8->32 0.48 for pure-numpy work) — at 4->16 the BOX
@@ -212,7 +275,13 @@ def run_scaling() -> None:
     # poisons the measured ratio — Amdahl on the harness, not the engine;
     # measured: the same engine scores ~0.63 at 340k pages, ~0.74 at
     # 1.36M, purely from overhead dilution)
-    spec = os.environ.get("SPARK_GRAFT_CORPUS_SPEC", "nb1600000_t300-900")
+    # 5.44M pages (round-4, up from 2.72M): the overhead-dilution series
+    # (0.63 @340k, 0.74 @1.36M, 0.80-0.84 @2.72M) shows fixed harness
+    # seconds still costing ~0.05-0.1 efficiency at 2.72M; the rule's
+    # criterion lives at 10^12 docs, so the measurement corpus grows until
+    # per-stage compute dominates — this sizing targets the MEAN-of-runs
+    # clearing the 0.8 gate, not only the best run.
+    spec = os.environ.get("SPARK_GRAFT_CORPUS_SPEC", "nb3200000_t300-900")
     ceiling = _host_ceiling(n_small, n_big)
     for rep in range(repeats):
         for cpus in (n_small, n_big):
@@ -243,6 +312,11 @@ def run_scaling() -> None:
 
     tp8, tp32 = results[n_small]["value"], results[n_big]["value"]
     eff = (tp32 / tp8) / 4.0
+    mean_small = sum(r["value"] for r in runs[n_small]) / len(runs[n_small])
+    mean_big = sum(r["value"] for r in runs[n_big]) / len(runs[n_big])
+    eff_mean = (mean_big / mean_small) / 4.0
+    recall = results[n_big].get("recall")
+    band_prec = results[n_big].get("band_precision")
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(
@@ -257,20 +331,26 @@ jaccard threshold 0.8. Input: deterministic synthetic web corpus
 ({results[n_big]["n_pages"]} pages, seed 42, shape per BASELINE.json input_hint),
 sf dir {SF_DIR}.
 
-The sandbox host exhibits heavy CPU steal (cumulative ~18% of busy time);
-each level therefore runs {len(runs[n_small])}x and the BEST run counts
-(per-run steal%% recorded below). The host also oversubscribes vCPUs:
-an embarrassingly-parallel pure-numpy probe scales at only
-**{ceiling:.2f} efficiency** from {n_small} to {n_big} procs — the
-physical ceiling any job on this box can reach.
+The sandbox host exhibits heavy CPU steal (cumulative ~18% of busy time
+observed) and oversubscribes vCPUs: an embarrassingly-parallel pure-numpy
+probe scales at only **{ceiling:.2f} efficiency** from {n_small} to
+{n_big} procs this window — the physical ceiling any job on this box can
+reach. Each level runs {len(runs[n_small])}x; BOTH the mean-of-runs and
+the best-run efficiency are reported (the mean is the stricter,
+scheduling-noise-inclusive number; per-run steal%% recorded below).
 
-| parallelism | wall (s) | throughput (docs/sec) | steal%% during run |
-|---|---|---|---|
-| local[{n_small}]  (N)  | {results[n_small]["e2e_sec"]} | {tp8} | {results[n_small]["steal_pct"]} |
-| local[{n_big}] (4N) | {results[n_big]["e2e_sec"]} | {tp32} | {results[n_big]["steal_pct"]} |
+| parallelism | best wall (s) | best tp (docs/sec) | mean tp | steal%% (best run) |
+|---|---|---|---|---|
+| local[{n_small}]  (N)  | {results[n_small]["e2e_sec"]} | {tp8} | {mean_small:.1f} | {results[n_small]["steal_pct"]} |
+| local[{n_big}] (4N) | {results[n_big]["e2e_sec"]} | {tp32} | {mean_big:.1f} | {results[n_big]["steal_pct"]} |
 
-**Scaling efficiency = (tp@4N / tp@N) / 4 = {eff:.3f}** (gate: >= 0.8)
-**Host-ceiling-relative efficiency = {eff:.3f} / {ceiling:.2f} = {eff/ceiling:.3f}**
+**Mean-of-runs scaling efficiency = ({mean_big:.0f} / {mean_small:.0f}) / 4 = {eff_mean:.3f}** (gate: >= 0.8)
+**Best-run scaling efficiency = (tp@4N / tp@N) / 4 = {eff:.3f}**
+**Host-ceiling-relative (best) = {eff:.3f} / {ceiling:.2f} = {eff/ceiling:.3f}**
+
+Planted-family quality at the protocol corpus (4N best run):
+recall = {recall} (gate >= 0.99), band_precision = {band_prec}
+(1 - near50 false-merge rate; per-tier fields in the raw JSON below).
 
 Per-stage seconds at local[{n_big}] (best run): {json.dumps(results[n_big]["queries"], indent=0)}
 
@@ -289,7 +369,16 @@ Submission mode (north_rule): the same pipeline runs via
  scripts/submit_dedup.py --input <pages.parquet> --workdir <dir>`
 """
         )
-    print(json.dumps({"efficiency": round(eff, 3), "tp8": tp8, "tp32": tp32}))
+    print(
+        json.dumps(
+            {
+                "efficiency_mean": round(eff_mean, 3),
+                "efficiency_best": round(eff, 3),
+                "tp_small_best": tp8,
+                "tp_big_best": tp32,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

@@ -76,7 +76,17 @@ def _cc_single_task(edges: DataFrame) -> DataFrame:
     replaces a per-edge python union-find loop that serialized ~5 s on
     700k string edges — the Amdahl tail of the whole pipeline at 4N.
     Pointer-jumping (label <- label[label]) keeps rounds logarithmic on
-    pathological chains."""
+    pathological chains.
+
+    LARGE string-id graphs take the hashed route (_cc_single_task_hashed,
+    dispatched by connected_components): round-4 profiling showed the
+    single task spending ~4.3 s factorizing 2M url strings plus ~4 s
+    shipping ~80 MB of strings through Arrow — a serial tail at every
+    parallelism level. Hashing ids to int64 first cuts the single task to
+    the int kernel (~16 MB transfer, ~0.3 s factorize); min-ORIGINAL-id
+    labels are restored by a small distributed relabel join, so the label
+    contract is unchanged. Small graphs keep the direct route (the relabel
+    joins would cost more than the string factorize they avoid)."""
     import numpy as np
     import pandas as pd
 
@@ -126,6 +136,39 @@ def _cc_single_task(edges: DataFrame) -> DataFrame:
     )
 
 
+def _cc_single_task_hashed(edges: DataFrame) -> DataFrame:
+    """Small-graph CC for NON-integral (string) ids: the single-task int
+    kernel runs over uid = xxhash64(id) (8-byte rows through Arrow instead
+    of url strings), then min-ORIGINAL-id labels are restored outside the
+    task with two narrow distributed shuffles:
+
+      comp_u(uid, cluster_uid)          <- int kernel (component identity)
+      m = ids x comp_u                  <- per-node (id, cluster_uid)
+      labels = min(id) per cluster_uid  <- the label contract
+      result = m x labels               <- (url, cluster_id)
+
+    Everything outside the kernel is O(|nodes|) narrow rows, fully
+    parallel — the serial tail is just the int kernel. uid collisions
+    (n^2/2^65 — ~1e-7 at the 2M-edge threshold) could merge two distinct
+    ids; the same documented odds as the pipeline's surrogate keys."""
+    uid_edges = edges.select(
+        F.xxhash64("src").alias("src"), F.xxhash64("dst").alias("dst")
+    )
+    comp_u = _cc_single_task(uid_edges).select(
+        F.col("url").alias("uid"), F.col("cluster_id").alias("cluster_uid")
+    )
+    ids = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    m = ids.select("id", F.xxhash64("id").alias("uid")).join(comp_u, "uid")
+    labels = m.groupBy("cluster_uid").agg(F.min("id").alias("cluster_id"))
+    return m.join(labels, "cluster_uid").select(
+        F.col("id").alias("url"), "cluster_id"
+    )
+
+
 def connected_components(
     edges: DataFrame,
     max_iterations: int = 50,
@@ -156,6 +199,17 @@ def connected_components(
             else cur.count()
         )
         if n <= small_graph_threshold:
+            from pyspark.sql import types as T
+
+            integral = isinstance(
+                cur.schema["src"].dataType,
+                (T.LongType, T.IntegerType, T.ShortType, T.ByteType),
+            )
+            # string ids above ~200k edges: the hashed kernel + relabel
+            # beats the serial string factorize/Arrow cost (measured
+            # crossover; below it the extra joins dominate)
+            if not integral and n > 200_000:
+                return _cc_single_task_hashed(cur)
             return _cc_single_task(cur)
     cur = cur.localCheckpoint()
     prev_sum = _checksum(cur)

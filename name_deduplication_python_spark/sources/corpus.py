@@ -163,6 +163,44 @@ def corpus_to_spark(spark, pages: pd.DataFrame):
     return spark.createDataFrame(pages, schema=WEB_PAGES)
 
 
+def corpus_truth_pairs(
+    n_base: int,
+    seed: int = 42,
+    chunk_base: int = 25000,
+    min_tokens: int = 80,
+    max_tokens: int = 400,
+    processes: int | None = None,
+) -> pd.DataFrame:
+    """Regenerate ONLY the planted truth pairs of a build_corpus_parquet
+    corpus (same chunk seeds/offsets), without materializing html or
+    pages — the rng draws that decide pair structure all happen before
+    the html pass, so with_html=False reproduces identical pairs. Chunks
+    run in a process pool (truth backfill for a 2.7M-page corpus is a
+    one-time cache fill)."""
+    import multiprocessing as mp
+
+    n_chunks = (n_base + chunk_base - 1) // chunk_base
+    args = [
+        (min(chunk_base, n_base - i * chunk_base), seed + i,
+         i * chunk_base * 2, min_tokens, max_tokens)
+        for i in range(n_chunks)
+    ]
+    if n_chunks == 1:
+        return _truth_chunk(args[0])
+    with mp.Pool(processes or min(16, n_chunks)) as pool:
+        parts = pool.map(_truth_chunk, args)
+    return pd.concat(parts, ignore_index=True)
+
+
+def _truth_chunk(a) -> pd.DataFrame:
+    nb, seed, off, lo, hi = a
+    _, truth = generate_corpus(
+        n_base=nb, seed=seed, url_offset=off, with_html=False,
+        min_tokens=lo, max_tokens=hi,
+    )
+    return truth
+
+
 def build_corpus_parquet(
     spark,
     path: str,
