@@ -4,12 +4,13 @@ entry(spark)  — flagship near-dup clustering over sf0.001 documents.
 queries()     — operator inventory per SURVEY.md §2 (see
                 name_deduplication_python_spark/plans/queries.py; each
                 query documents its reference-operator analog).
-oracle_sql()  — DuckDB-runnable ANSI SQL for every SQL-expressible query.
-                26/27 queries carry one; the only rows-only check is
-                simhash_near_pairs (its kernel 64-bit simhash is not
-                SQL-reproducible — banding==bruteforce equality is
-                pytest-gated, and its SQL-expressible twin
-                simhash_hamming_pairs_sql value-hash-checks the family).
+oracle_sql()  — DuckDB-runnable ANSI SQL for every query: 27/27 carry an
+                oracle. simhash_near_pairs (kernel 64-bit simhash, not
+                SQL-reproducible) materializes its signature table to a
+                parquet view the oracle brute-forces via read_parquet,
+                so the banding+verify logic — the silently-lossy part —
+                is driver-checked; the kernel itself stays
+                bit-identity-gated in pytest (tests/test_signatures.py).
 """
 
 from __future__ import annotations
