@@ -173,7 +173,12 @@ def connected_components(
     edges: DataFrame,
     max_iterations: int = 50,
     checkpoint_every: int = 1,
-    small_graph_threshold: int = 2_000_000,
+    # crossover raised 2M -> 10M in round 4: the hashed int kernel labels
+    # a 10M-edge graph in a few seconds (~160 MB through the single task),
+    # while the iterative path's per-round scheduling cost ~12 s extra at
+    # 2M edges (measured on the 5.44M-page protocol corpus). At 10^12-doc
+    # scale the raw edge set still far exceeds this and runs iteratively.
+    small_graph_threshold: int = 10_000_000,
     edge_count_hint: int | None = None,
     edges_distinct: bool = False,
 ) -> DataFrame:
