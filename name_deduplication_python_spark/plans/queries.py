@@ -1197,6 +1197,111 @@ def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# 28/29. Repetition & boilerplate mining (training-data quality ops, round
+#        4): per-document n-gram repetition score — the Gopher-style
+#        "fraction of duplicated n-grams" quality signal (Rae et al. 2021,
+#        public) — and corpus-level repeated-n-gram mining (boilerplate
+#        detection: the n-grams that recur verbatim across/within docs are
+#        navigation chrome / footer candidates for span removal).
+# --------------------------------------------------------------------------
+
+_REP_N = 8          # token n-gram width
+_NG_MIN_COUNT = 2   # corpus miner: keep n-grams seen at least this often
+
+
+def _doc_ngrams(docs: DataFrame, n: int = _REP_N):
+    """(doc_id, grams array<string>) — ALL (non-distinct) n-token grams;
+    docs under n tokens contribute ONE whole-doc gram (ratio 0 by
+    construction, mirroring the shingle convention)."""
+    t = F.expr(_TOK)
+    g = F.when(F.size(t) < n, F.array(F.concat_ws(" ", t))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+        )
+    )
+    return docs.select("doc_id", g.alias("grams"))
+
+
+def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-n-gram fraction: 1 - distinct/total. All native
+    array expressions — no explode, no shuffle (map-only over the scan)."""
+    g = _doc_ngrams(_docs(spark, sf_dir))
+    total = F.size("grams")
+    dist = F.size(F.array_distinct("grams"))
+    return g.select(
+        "doc_id",
+        total.alias("n_grams"),
+        dist.alias("n_distinct"),
+        F.round(
+            F.lit(1.0) - dist.cast("double") / total.cast("double"), 6
+        ).alias("dup_ratio"),
+    )
+
+
+SQL_REPETITION_SCORES = f"""
+WITH t AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) < {_REP_N}
+              THEN [array_to_string(toks, ' ')]
+              ELSE [array_to_string(toks[i:i+{_REP_N - 1}], ' ')
+                    FOR i IN range(1, len(toks) - {_REP_N} + 2)]
+         END AS grams
+  FROM t
+)
+SELECT doc_id,
+       len(grams)::INT AS n_grams,
+       len(list_distinct(grams))::INT AS n_distinct,
+       round(1.0 - len(list_distinct(grams)) / len(grams), 6) AS dup_ratio
+FROM g
+"""
+
+
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level repeated-n-gram miner: every n-gram occurring >=
+    _NG_MIN_COUNT times, with occurrence count, distinct-doc count, and
+    first (min) doc — a count>=threshold set rather than a LIMIT top-k so
+    the result is deterministic under ties. One shuffle (the groupBy);
+    partial counts combine map-side."""
+    g = _doc_ngrams(_docs(spark, sf_dir)).select(
+        "doc_id", F.explode("grams").alias("ngram")
+    )
+    return (
+        g.groupBy("ngram")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .where(F.col("n_occurrences") >= _NG_MIN_COUNT)
+    )
+
+
+SQL_TOP_NGRAMS = f"""
+WITH t AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(toks) < {_REP_N}
+              THEN [array_to_string(toks, ' ')]
+              ELSE [array_to_string(toks[i:i+{_REP_N - 1}], ' ')
+                    FOR i IN range(1, len(toks) - {_REP_N} + 2)]
+         END) AS ngram
+  FROM t
+)
+SELECT ngram,
+       count(*) AS n_occurrences,
+       count(DISTINCT doc_id) AS n_docs,
+       min(doc_id) AS first_doc
+FROM g
+GROUP BY ngram
+HAVING count(*) >= {_NG_MIN_COUNT}
+"""
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "token_jaccard_pairs": q_token_jaccard_pairs,
@@ -1225,6 +1330,8 @@ QUERIES = {
     "substring_pairs": q_substring_pairs,
     "ann_lsh_topk": q_ann_lsh_topk,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+    "repetition_scores": q_repetition_scores,
+    "top_ngrams": q_top_ngrams,
 }
 
 ORACLES = {
@@ -1263,4 +1370,6 @@ ORACLES = {
     "substring_pairs": SQL_SUBSTRING_PAIRS,
     "ann_lsh_topk": SQL_ANN_TOPK,
     "embedding_near_dup_lsh": SQL_EMBEDDING_SIMILAR_PAIRS,
+    "repetition_scores": SQL_REPETITION_SCORES,
+    "top_ngrams": SQL_TOP_NGRAMS,
 }
