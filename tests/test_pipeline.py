@@ -292,3 +292,33 @@ def test_table_format_dispatch(spark, tmp_path):
     # same workdir, parquet config: fingerprint mismatch refuses
     with _pytest.raises(ValueError, match="different DedupConfig"):
         DedupPipeline(spark, wd, DedupConfig())
+
+
+def test_corpus_truth_pairs_matches_full_generation():
+    """The bench recall metrics rely on corpus_truth_pairs regenerating a
+    build_corpus_parquet corpus' planted pairs WITHOUT materializing
+    html/pages — all rng draws deciding pair structure happen before the
+    html pass, so the pair sets must be identical (including across the
+    chunk seed/offset scheme)."""
+    import pandas as pd
+
+    from name_deduplication_python_spark.sources.corpus import (
+        corpus_truth_pairs,
+        generate_corpus,
+    )
+
+    n_base, chunk = 900, 400  # 3 chunks, last partial
+    want = []
+    for i in range(3):
+        nb = min(chunk, n_base - i * chunk)
+        _, t = generate_corpus(
+            n_base=nb, seed=42 + i, url_offset=i * chunk * 2,
+            min_tokens=80, max_tokens=200,
+        )
+        want.append(t)
+    want = pd.concat(want, ignore_index=True)
+    got = corpus_truth_pairs(
+        n_base, seed=42, chunk_base=chunk, min_tokens=80, max_tokens=200,
+        processes=2,
+    )
+    assert got.equals(want)
