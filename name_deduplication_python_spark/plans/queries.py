@@ -1197,6 +1197,27 @@ def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat top-k (the data-aware ANN scale path; operators/ann.py
+    ann_ivf_topk): spherical-k-means inverted lists, probe + exact
+    re-rank. Driver config SATURATES the index (nprobe == n_lists): every
+    list is probed, so the candidate set covers all vectors and the
+    result EQUALS brute-force top-k — SQL_ANN_TOPK is its exact oracle
+    (and centroid float nondeterminism cannot affect the output). Probe
+    selectivity at nprobe < n_lists is pytest-gated instead
+    (tests/test_ann_multimodal.py)."""
+    from ..operators.ann import ann_ivf_topk
+
+    return ann_ivf_topk(
+        _emb(spark, sf_dir),
+        k=_ANN_K,
+        n_lists=8,
+        nprobe=8,
+        query_filter=F.col("vec_id") < 10,
+        seed=DEFAULT_CONFIG["seed"],
+    )
+
+
 # --------------------------------------------------------------------------
 # 28/29. Repetition & boilerplate mining (training-data quality ops, round
 #        4): per-document n-gram repetition score — the Gopher-style
@@ -1330,6 +1351,7 @@ QUERIES = {
     "substring_pairs": q_substring_pairs,
     "ann_lsh_topk": q_ann_lsh_topk,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "repetition_scores": q_repetition_scores,
     "top_ngrams": q_top_ngrams,
 }
@@ -1370,6 +1392,7 @@ ORACLES = {
     "substring_pairs": SQL_SUBSTRING_PAIRS,
     "ann_lsh_topk": SQL_ANN_TOPK,
     "embedding_near_dup_lsh": SQL_EMBEDDING_SIMILAR_PAIRS,
+    "ann_ivf_topk": SQL_ANN_TOPK,
     "repetition_scores": SQL_REPETITION_SCORES,
     "top_ngrams": SQL_TOP_NGRAMS,
 }

@@ -163,3 +163,46 @@ def test_image_strict_mode_raises(spark, media_df):
         image_features(
             media_df.where("media_id = 'img1'"), strict=True
         ).collect()
+
+
+def test_ivf_topk_probe_selectivity_and_recall(spark):
+    """IVF at nprobe < n_lists must (a) PRUNE: per-query candidates stay
+    well below the corpus, (b) keep recall on separable data: vectors
+    drawn around well-separated directions find their true top-1 (same
+    planted cluster) with nprobe=1 after k-means training."""
+    import numpy as np
+    import pandas as pd
+
+    from name_deduplication_python_spark.operators.ann import (
+        ann_ivf_topk,
+        ivf_probe_lists,
+        ivf_train_centroids,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(7)
+    n_clusters, per, dim = 4, 50, 16
+    dirs = rng.standard_normal((n_clusters, dim))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    rows = []
+    for c in range(n_clusters):
+        for i in range(per):
+            v = dirs[c] + 0.05 * rng.standard_normal(dim)
+            rows.append((c * per + i, [float(x) for x in v]))
+    emb = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"]),
+        "vec_id bigint, embedding array<double>",
+    ).cache()
+
+    got = ann_ivf_topk(
+        emb, k=1, n_lists=n_clusters, nprobe=1, iters=3, seed=3, dim=dim
+    ).toPandas()
+    same_cluster = (got.query_id // per == got.cand_id // per).mean()
+    assert same_cluster >= 0.95, same_cluster
+
+    # pruning evidence: with a converged quantizer, each list holds ~per
+    # vectors, so nprobe=1 candidates per query ~ per, not n
+    cents = ivf_train_centroids(emb, n_lists=n_clusters, iters=3, seed=3, dim=dim)
+    assign = ivf_probe_lists(emb, cents, nprobe=1)
+    sizes = [r.n for r in assign.groupBy("list_id").agg(F.count("*").alias("n")).collect()]
+    assert max(sizes) <= 2 * per, sizes  # no list degenerated to the corpus
