@@ -1,0 +1,60 @@
+"""CCNet-style line-level dedup tests."""
+
+from __future__ import annotations
+
+from name_deduplication_python_spark.operators.linededup import (
+    dedup_lines,
+    repeated_lines,
+)
+
+
+def _pages(spark):
+    footer = "copyright example corp all rights reserved"
+    nav = "home | about | contact"
+    rows = [
+        ("u1", f"{nav}\nunique one alpha\nmiddle line one\n{footer}"),
+        ("u2", f"{nav}\nunique two beta\n\n{footer}"),
+        ("u3", f"unique three gamma\nanother unique line\n{footer}"),
+        ("u4", f"{nav}\n{footer}"),          # pure boilerplate page
+        ("u5", "solo page with no repeats"),
+        # repeated WITHIN one doc only: must NOT be dropped (min_docs=2
+        # counts distinct documents)
+        ("u6", "intra repeat\nintra repeat\nunique six delta"),
+    ]
+    return spark.createDataFrame(rows, "url string, text string")
+
+
+def test_repeated_lines_counts_distinct_docs(spark):
+    rep = repeated_lines(_pages(spark), exact=True).toPandas()
+    by_line = {r.line_key: (r.n_docs, r.n_occurrences) for r in rep.itertuples()}
+    assert by_line["copyright example corp all rights reserved"] == (4, 4)
+    assert by_line["home | about | contact"] == (3, 3)
+    assert "intra repeat" not in by_line  # one doc, two occurrences
+    assert len(by_line) == 2
+
+
+def test_dedup_lines_strips_boilerplate_preserves_order(spark):
+    got = {
+        r.url: r.text for r in dedup_lines(_pages(spark)).collect()
+    }
+    assert got["u1"] == "unique one alpha\nmiddle line one"
+    assert got["u2"] == "unique two beta"
+    assert got["u3"] == "unique three gamma\nanother unique line"
+    assert got["u4"] == ""  # fully boilerplate -> empty (dropped downstream)
+    assert got["u5"] == "solo page with no repeats"
+    assert got["u6"] == "intra repeat\nintra repeat\nunique six delta"
+
+
+def test_dedup_lines_exact_matches_hashed(spark):
+    pages = _pages(spark)
+    a = {r.url: r.text for r in dedup_lines(pages, exact=True).collect()}
+    b = {r.url: r.text for r in dedup_lines(pages, exact=False).collect()}
+    assert a == b
+
+
+def test_dedup_lines_plan_has_no_python(spark):
+    plan = (
+        dedup_lines(_pages(spark))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
