@@ -219,6 +219,10 @@ def ivf_train_centroids(
         .limit(n_lists)
         .collect()
     )
+    if not init:
+        raise ValueError("ivf_train_centroids: embedding table is empty")
+    # fewer rows than requested lists: every vector is its own list
+    n_lists = min(n_lists, len(init))
     cents = np.vstack([np.array(r[1], dtype=np.float64) for r in init])
     cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
 
@@ -271,7 +275,8 @@ def ivf_probe_lists(
     Arrow batch."""
     C = centroids
     nprobe = min(nprobe, len(C))
-    out_schema = f"{id_col} bigint, list_id int"
+    id_type = emb.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, list_id int"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -236,13 +236,19 @@ def expand_group_pairs(
     chains capped LSH buckets into arbitrarily large components — that is
     its job — so the LSH bucket_cap does NOT bound component size. Groups
     above ``member_cap`` members therefore get CHUNKED expansion (the
-    salted-bucket strategy): the sorted member array splits into
-    ceil(n/cap) slices, each slice pairs fully (~cap²/2) plus a chain
-    across slice heads — total pairs O(n·cap) instead of C(n,2), and no
-    single row ever materializes more than ~cap² structs. Every member
-    still appears in >= cap-1 audited pairs, which is the audit's
-    sampling guarantee (audit is a sampling stage by nature —
-    ``audit_edges`` likewise takes sample_fraction)."""
+    salted-bucket strategy) in TWO explode stages: chunk INDICES explode
+    first (one row per chunk), then each chunk row builds only its own
+    slice's pairs (~cap²/2 structs plus one head-chain edge) — total
+    pairs O(n·cap) instead of C(n,2), and no evaluated pair array ever
+    exceeds ~cap²/2 structs (a single-stage expression would materialize
+    the whole O(n·cap) array in one row before exploding). Every member
+    appears in >= min(cap, chunk size) - 1 audited pairs (the last
+    partial chunk pairs within itself), which is the audit's sampling
+    guarantee (audit is a sampling stage by nature — ``audit_edges``
+    likewise takes sample_fraction). Documented residual: the sorted
+    member array itself is one collect_list row, O(n) per group — ~100 MB
+    at 2M members; bounding THAT requires pre-chunking the groupBy key,
+    which trades exactness of the chunk boundaries for memory."""
     from .lsh import _pairs_of
 
     g = (
@@ -252,27 +258,28 @@ def expand_group_pairs(
     )
     m = F.col("m")
     n = F.size(m)
-    n_chunks = F.ceil(n / F.lit(member_cap)).cast("int")
-    chunk_pairs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(0), n_chunks - 1),
-            lambda c: _pairs_of(F.slice(m, c * member_cap + 1, member_cap)),
-        )
+    small = g.where(n <= member_cap).select(
+        F.explode(_pairs_of(m)).alias("p")
     )
-    heads = F.when(
-        n_chunks >= 2,
-        F.transform(
-            F.sequence(F.lit(0), n_chunks - 2),
-            lambda c: F.struct(
+    n_chunks = F.ceil(n / F.lit(member_cap)).cast("int")
+    chunks = g.where(n > member_cap).select(
+        "m",
+        n_chunks.alias("nc"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("c"),
+    )
+    c = F.col("c")
+    chunk_pairs = _pairs_of(F.slice(m, c * member_cap + 1, member_cap))
+    head = F.when(
+        c < F.col("nc") - 1,
+        F.array(
+            F.struct(
                 F.get(m, c * member_cap).alias("src"),
                 F.get(m, (c + 1) * member_cap).alias("dst"),
-            ),
+            )
         ),
     ).otherwise(F.slice(chunk_pairs, 1, 0))
-    pair_arr = F.when(n <= member_cap, _pairs_of(m)).otherwise(
-        F.concat(chunk_pairs, heads)
-    )
-    return g.select(F.explode(pair_arr).alias("p")).select(
+    big = chunks.select(F.explode(F.concat(chunk_pairs, head)).alias("p"))
+    return small.unionByName(big).select(
         F.col("p.src").alias("src"), F.col("p.dst").alias("dst")
     )
 

@@ -22,8 +22,9 @@ Spark-first shape — no UDF anywhere:
 
 At 10^12 docs the repeated-hash table is small relative to the corpus
 (boilerplate is heavy-tailed), and step 2/3 join on 8-byte keys; the only
-wide shuffle is the unavoidable line explode, partially offset by dropping
-empty lines before the exchange.
+wide shuffle is the unavoidable line explode. Blank lines are never
+counted as boilerplate AND never removed — paragraph boundaries in
+untouched documents survive byte-for-byte (tested).
 
 Hash note: dropping a line on an xxhash64 collision with true boilerplate
 has odds |lines|^2/2^64 per corpus — the same documented budget as the
@@ -79,10 +80,14 @@ def dedup_lines(
     rep = repeated_lines(
         pages, id_col=id_col, text_col=text_col, min_docs=min_docs, exact=exact
     ).select("line_key")
+    # NOTE no blank-line filter here: blank lines are excluded from the
+    # repeated-lines TABLE (so they are never "boilerplate") but kept in
+    # the document stream, preserving paragraph boundaries of documents
+    # the operator does not touch.
     lines = pages.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
-    ).where(F.trim("line") != "")
+    )
     key = F.col("line") if exact else F.xxhash64("line")
     kept = lines.withColumn("line_key", key).join(rep, "line_key", "left_anti")
     rebuilt = (

@@ -265,6 +265,18 @@ class DedupPipeline:
             pq.write_table(tbl, os.path.join(mdir, f"{stage}.parquet"))
         return self._read_stage(stage)
 
+
+    def _stage_rowcount(self, stage: str, df) -> int:
+        """Row count of a just-materialized stage. Parquet: footer sum —
+        no Spark job, and overwrite mode guarantees the dir holds exactly
+        this write's files. Iceberg: data/ may hold ORPHANED files from a
+        crashed pre-commit attempt (Iceberg never clears them), so the
+        footer walk would overcount — read the committed snapshot and
+        count it instead."""
+        if self.cfg.table_format != "parquet":
+            return self._read_stage(stage).count()
+        return sum(r["n_rows"] for r in _lineage_rows(self._path(stage), ""))
+
     # ---- stages ----------------------------------------------------------
 
     def _exact_map_stage(self, sigs: DataFrame) -> DataFrame:
@@ -343,9 +355,7 @@ class DedupPipeline:
             # the parquet write below is the action that populates the
             # bucket-stats Observation — no separate stats job runs
             pairs = self._materialize("pairs", pairs_df)
-            n_pairs = sum(
-                r["n_rows"] for r in _lineage_rows(self._path("pairs"), "")
-            )
+            n_pairs = self._stage_rowcount("pairs", pairs)
             if n_pairs > 0:
                 stats = bucket_obs.get
             else:
@@ -396,7 +406,7 @@ class DedupPipeline:
         else:
             # edge count from the materialized stage's parquet footers —
             # spares CC its count-probe job
-            n_edges = sum(r["n_rows"] for r in _lineage_rows(self._path("edges"), ""))
+            n_edges = self._stage_rowcount("edges", edges)
             if exact_map is not None:
                 clusters_df = components_with_exact_map(
                     edges.select("src", "dst"),
@@ -492,9 +502,7 @@ class DedupPipeline:
                     simhash_radius=cfg.simhash_radius,
                 ),
             )
-            n_edges = sum(
-                r["n_rows"] for r in _lineage_rows(self._path("edges"), "")
-            )
+            n_edges = self._stage_rowcount("edges", edges)
             if n_edges > 0:
                 stats = bucket_obs.get
             else:
@@ -507,9 +515,7 @@ class DedupPipeline:
         if self._stage_done("clusters"):
             clusters = self._read_stage("clusters")
         else:
-            n_edges = sum(
-                r["n_rows"] for r in _lineage_rows(self._path("edges"), "")
-            )
+            n_edges = self._stage_rowcount("edges", edges)
             if exact_map is not None:
                 clusters_df = components_with_exact_map(
                     edges.select("src", "dst"),

@@ -901,7 +901,15 @@ def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a parquet view (see _SIMHASH_VIEW_DIR) and the pairs are computed FROM
     that view, so the DuckDB brute-force oracle reads byte-identical
     signatures. Lossless bucket_cap for the same reason as
-    q_minhash_lsh_pairs: the oracle enumerates ALL within-radius pairs."""
+    q_minhash_lsh_pairs: the oracle enumerates ALL within-radius pairs.
+
+    Contract limits (accepted): the oracle SQL is a static string pinned
+    to the driver's correctness scale (basename 'sf0.01'); running the
+    ORACLE against another sf dir is meaningless (the Spark side writes a
+    per-sf view, so nothing is clobbered — the oracle would just read the
+    sf0.01 view). And unlike the other (side-effect-free) query builders,
+    invoking this callable runs the signature job eagerly to refresh the
+    view — required so the oracle can never see stale signatures."""
     import os
 
     sigs = _doc_sigs(spark, sf_dir).select(

@@ -47,6 +47,26 @@ class IncrementalDedup:
         os.makedirs(os.path.join(store_dir, "signatures"), exist_ok=True)
         os.makedirs(os.path.join(store_dir, "band_keys"), exist_ok=True)
         os.makedirs(os.path.join(store_dir, "edges"), exist_ok=True)
+        # layout versioning: a store whose existing band-key epochs were
+        # written FLAT (pre-bp code) must stay flat — mixing flat and
+        # bp-partitioned epoch dirs breaks Spark's partition discovery,
+        # and the old epochs can't be pruned anyway. New/empty stores use
+        # the bp layout; legacy stores keep working with row-level
+        # (broadcast semi-join) pruning only.
+        self._bp_layout = self._band_store_is_partitioned()
+
+    def _band_store_is_partitioned(self) -> bool:
+        bk = os.path.join(self.store, "band_keys")
+        for e in sorted(os.listdir(bk)):
+            p = os.path.join(bk, e)
+            if not os.path.isdir(p):
+                continue
+            entries = os.listdir(p)
+            if any(n.endswith(".parquet") for n in entries):
+                return False  # legacy flat epoch present
+            if any(n.startswith("bp=") for n in entries):
+                return True
+        return True  # empty store: adopt the partitioned layout
 
     @staticmethod
     def _pruned_store_sigs(old_sigs: DataFrame, pairs: DataFrame) -> DataFrame:
@@ -84,19 +104,18 @@ class IncrementalDedup:
              reach the candidate join's exchange.
         """
         batch_bh = new_keys.select("bh").distinct()
-        parts = [
-            r.bp
-            for r in batch_bh.select(
-                F.pmod("bh", F.lit(self.STORE_KEY_PARTS)).alias("bp")
-            )
-            .distinct()
-            .collect()
-        ]
-        return (
-            old_keys.where(F.col("bp").isin(parts))
-            .join(F.broadcast(batch_bh), "bh", "left_semi")
-            .drop("bp")
-        )
+        if "bp" in old_keys.columns:
+            parts = [
+                r.bp
+                for r in batch_bh.select(
+                    F.pmod("bh", F.lit(self.STORE_KEY_PARTS)).alias("bp")
+                )
+                .distinct()
+                .collect()
+            ]
+            old_keys = old_keys.where(F.col("bp").isin(parts)).drop("bp")
+        # legacy flat stores (no bp column) still get row-level pruning
+        return old_keys.join(F.broadcast(batch_bh), "bh", "left_semi")
 
     def _read_store(self, sub: str) -> DataFrame | None:
         path = os.path.join(self.store, sub)
@@ -181,13 +200,18 @@ class IncrementalDedup:
         # keys land hive-partitioned by bp inside the epoch dir so future
         # epochs' reads prune to their own bucket partitions (see
         # _pruned_store_keys); repartition keeps one file per bp partition
-        # instead of tasks x partitions small files
-        keyed = new_keys.withColumn(
-            "bp", F.pmod("bh", F.lit(self.STORE_KEY_PARTS))
-        )
-        keyed.repartition(F.col("bp")).write.mode("overwrite").partitionBy(
-            "bp"
-        ).parquet(os.path.join(self.store, "band_keys", f"epoch={epoch_id}"))
+        # instead of tasks x partitions small files. Legacy (pre-bp)
+        # stores keep the flat layout — see __init__.
+        bk_epoch = os.path.join(self.store, "band_keys", f"epoch={epoch_id}")
+        if self._bp_layout:
+            keyed = new_keys.withColumn(
+                "bp", F.pmod("bh", F.lit(self.STORE_KEY_PARTS))
+            )
+            keyed.repartition(F.col("bp")).write.mode("overwrite").partitionBy(
+                "bp"
+            ).parquet(bk_epoch)
+        else:
+            new_keys.write.mode("overwrite").parquet(bk_epoch)
         # signatures written LAST: their _SUCCESS is the epoch's idempotence
         # marker, so a crash mid-epoch replays the whole epoch (overwrite
         # mode makes the replay exact)

@@ -38,11 +38,27 @@ def test_dedup_lines_strips_boilerplate_preserves_order(spark):
         r.url: r.text for r in dedup_lines(_pages(spark)).collect()
     }
     assert got["u1"] == "unique one alpha\nmiddle line one"
-    assert got["u2"] == "unique two beta"
+    # the blank line survives (it is not boilerplate, it is structure)
+    assert got["u2"] == "unique two beta\n"
     assert got["u3"] == "unique three gamma\nanother unique line"
     assert got["u4"] == ""  # fully boilerplate -> empty (dropped downstream)
     assert got["u5"] == "solo page with no repeats"
     assert got["u6"] == "intra repeat\nintra repeat\nunique six delta"
+
+
+def test_dedup_lines_untouched_docs_are_byte_identical(spark):
+    """A document sharing NO line with any other must come out
+    byte-for-byte — including blank lines / paragraph boundaries."""
+    pages = spark.createDataFrame(
+        [
+            ("p1", "para one\n\npara two\n\n\npara three"),
+            ("p2", "totally different text"),
+        ],
+        "url string, text string",
+    )
+    got = {r.url: r.text for r in dedup_lines(pages).collect()}
+    assert got["p1"] == "para one\n\npara two\n\n\npara three"
+    assert got["p2"] == "totally different text"
 
 
 def test_dedup_lines_exact_matches_hashed(spark):
