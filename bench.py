@@ -4,6 +4,12 @@
 Default mode (what the per-round driver runs): one JSON line to stdout —
   {"metric": "dedup_docs_per_sec", "value": <docs/sec>, "unit": "docs/sec",
    "queries": {<name>: seconds, ...}, "sf": <sf>, ...}
+Since round 5 the default mode is BEST-OF-3 fresh-subprocess runs (the
+scaling protocol's noisy-neighbor discipline) and the JSON additionally
+carries per-run steal%%, the EP compute/membw host-ceiling probes, and the
+planted-family metrics under both precision-tier settings
+(recall/band_precision and *_strict). SPARK_GRAFT_BENCH_REPEATS=1 forces
+the old single-run behavior.
 
 Input: deterministic synthetic web_pages corpus (BASELINE.json input_hint
 shape) sized from the sf dir's documents rowcount (n_base = 4x), cached as
@@ -115,7 +121,9 @@ def _corpus_truth(corpus_path: str, n_docs: int):
     return pd.read_parquet(cache)
 
 
-def _planted_family_stats(workdir: str, corpus_path: str, n_docs: int) -> dict:
+def _planted_family_stats(
+    workdir: str, corpus_path: str, n_docs: int, clusters_dirname: str = "clusters"
+) -> dict:
     """Driver-visible recall/precision metrics (VERDICT r3 #8): planted-
     family cluster recall per tier + the near50 false-merge rate, computed
     from the materialized clusters table — the same quantities the pytest
@@ -128,7 +136,7 @@ def _planted_family_stats(workdir: str, corpus_path: str, n_docs: int) -> dict:
     import pandas as pd
 
     truth = _corpus_truth(corpus_path, n_docs)
-    files = glob.glob(os.path.join(workdir, "clusters", "*.parquet"))
+    files = glob.glob(os.path.join(workdir, clusters_dirname, "*.parquet"))
     cl = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
     lab = dict(zip(cl["url"], cl["cluster_id"]))
     out = {}
@@ -148,6 +156,37 @@ def _planted_family_stats(workdir: str, corpus_path: str, n_docs: int) -> dict:
     out["recall"] = round(n_hit / max(n_dup, 1), 4)
     out["band_precision"] = round(1.0 - out.get("near50_false_merge_rate", 0.0), 4)
     return out
+
+
+def _strict_family_stats(spark, workdir: str, corpus_path: str, n_docs: int) -> dict:
+    """The same planted-family metrics under the STRICT precision tier
+    (VERDICT r4 #1: BENCH must report band_precision under both settings).
+    Cheap by construction: the materialized edges table already carries
+    (est_jaccard, hamming, via), so the strict edge set is a filter — no
+    re-signing, no re-banding — followed by one CC + the pandas metric
+    pass; runs untimed after the benchmarked pipeline."""
+    from name_deduplication_python_spark.operators.components import (
+        components_with_exact_map,
+    )
+    from name_deduplication_python_spark.operators.verify import hamming_floor
+
+    floor = hamming_floor()
+    edges = spark.read.parquet(os.path.join(workdir, "edges"))
+    strict = edges.where(
+        ~((edges["via"] == "hamming") & (edges["est_jaccard"] < floor))
+    )
+    exact_map = spark.read.parquet(os.path.join(workdir, "exact_map"))
+    clusters = components_with_exact_map(
+        strict.select("src", "dst"), exact_map, edges_distinct=True
+    )
+    out_dir = os.path.join(workdir, "clusters_strict")
+    clusters.write.mode("overwrite").parquet(out_dir)
+    s = _planted_family_stats(
+        workdir, corpus_path, n_docs, clusters_dirname="clusters_strict"
+    )
+    return {f"{k}_strict": v for k, v in s.items()} | {
+        "hamming_est_floor_strict": round(floor, 4)
+    }
 
 
 def run_bench() -> dict:
@@ -191,11 +230,19 @@ def run_bench() -> dict:
             timings[name] = round(time.time() - t, 3)
 
     # planted-family recall/precision (computed AFTER the timed e2e;
-    # driver-side pandas over the 42 MB clusters table + cached truth)
+    # driver-side pandas over the 42 MB clusters table + cached truth),
+    # under BOTH precision-tier settings (default OR-semantics pipeline
+    # above; strict hamming_est_floor via an untimed edges re-filter + CC)
     try:
         family_stats = _planted_family_stats(workdir, corpus_path, n_docs)
     except Exception as e:  # never fail the bench line over metrics
         family_stats = {"error": str(e)[:200]}
+    try:
+        family_stats.update(
+            _strict_family_stats(spark, workdir, corpus_path, n_docs)
+        )
+    except Exception as e:
+        family_stats["strict_error"] = str(e)[:200]
 
     docs_per_sec = n_pages / e2e
     result = {
@@ -418,8 +465,66 @@ Submission mode (north_rule): the same pipeline runs via
     )
 
 
+def run_bench_repeated() -> dict:
+    """Default-mode wrapper (VERDICT r4 #2 — adjudicable per-round bench):
+    best-of-N fresh-subprocess runs, mirroring the scaling protocol's
+    noisy-neighbor discipline, so BENCH_rNN.json e2e numbers compare
+    round-over-round without host-window luck. Every run records its
+    steal%%; the JSON carries the EP compute/bandwidth host-ceiling probes
+    for the window plus all per-run values. Headline queries (and their
+    timings) run in the FIRST (cold) child only — stage timings and e2e
+    come from the best run."""
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    ceiling = _host_ceiling(2, 8)
+    ceiling_bw = _host_ceiling(2, 8, work=_probe_membw)
+    runs: list[dict] = []
+    best: dict | None = None
+    for rep in range(repeats):
+        env = dict(os.environ, SPARK_GRAFT_BENCH_CHILD="1")
+        if rep > 0:
+            env["SPARK_GRAFT_SKIP_QUERIES"] = "1"
+        s0, b0 = _read_steal()
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+        s1, b1 = _read_steal()
+        lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+        if not lines:
+            raise RuntimeError(
+                f"bench child rep={rep} produced no JSON; stderr tail: "
+                + out.stderr[-2000:]
+            )
+        r = json.loads(lines[-1])
+        r["steal_pct"] = round(100.0 * (s1 - s0) / max(b1 - b0 + s1 - s0, 1), 1)
+        runs.append(r)
+        if best is None or r["value"] > best["value"]:
+            best = r
+    result = dict(best)
+    # headline-query timings exist only in the first (full) run; stage
+    # timings/e2e of the best run override the shared keys
+    result["queries"] = {**runs[0]["queries"], **best["queries"]}
+    result["runs"] = [
+        {"value": r["value"], "e2e_sec": r["e2e_sec"], "steal_pct": r["steal_pct"]}
+        for r in runs
+    ]
+    result["ceiling_compute"] = round(ceiling, 3)
+    result["ceiling_membw"] = round(ceiling_bw, 3)
+    return result
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
-    else:
+    elif (
+        os.environ.get("SPARK_GRAFT_BENCH_CHILD")
+        or os.environ.get("SPARK_GRAFT_SKIP_QUERIES")
+        or os.environ.get("SPARK_GRAFT_BENCH_REPEATS") == "1"
+    ):
+        # child run (repeat wrapper / scaling protocol) — single pass
         print(json.dumps(run_bench()))
+    else:
+        print(json.dumps(run_bench_repeated()))

@@ -33,4 +33,9 @@ DEFAULT_CONFIG = {
     "jaccard_threshold": 0.80,
     "bucket_cap": 64,        # full pairing below, capped pairing above (skew guard)
     "seed": 42,
+    # precision tier (None = reference OR-semantics): when set, an edge
+    # admitted ONLY by the SimHash Hamming ball additionally needs
+    # est_jaccard >= this floor (operators.verify.hamming_floor() gives
+    # the recommended strict value, ~0.635 at this config).
+    "hamming_est_floor": None,
 }

@@ -3,12 +3,15 @@ metadata, with Arrow-batched decode / feature-extract / resize /
 frame-sample operators.
 
 The Spark-side contract (schemas, partitioning, UDF signatures, batch
-shapes) is real and tested; the actual codec step is STUBBED because
-image/audio libraries are not available in this container. Each stub is
+shapes) is real and tested. Codecs: uncompressed BMP (8-bit palette /
+24-bit) decodes for REAL in strict mode via a stdlib+numpy parser —
+tested through the distributed path on known pixels; other image formats
+and all audio/video remain STUBBED (libraries not in this container) as
 either a clearly-marked NotImplementedError (strict mode) or a
-deterministic fake decoder (test mode) so the distributed plumbing can be
-exercised end-to-end. Swap `_decode_image_real` etc. with PIL/ffmpeg
-calls on a real cluster — signatures stay identical.
+deterministic fake decoder (test mode) so the distributed plumbing is
+exercised end-to-end regardless. Swap `_decode_image_real` /
+`frame_sample`'s strict branch with PIL/ffmpeg calls on a real cluster —
+signatures stay identical.
 """
 
 from __future__ import annotations
@@ -39,11 +42,57 @@ IMAGE_FEATURES_DDL = (
 FRAME_SAMPLE_DDL = "media_id string, frame_idx int, frame_sha256 string"
 
 
-def _decode_image_real(content: bytes) -> np.ndarray:  # pragma: no cover
-    """Real decoder slot (PIL/libjpeg on a real cluster)."""
+def _decode_bmp(content: bytes) -> np.ndarray:
+    """Pure-stdlib/numpy decoder for uncompressed 8-bit-palette and 24-bit
+    BMP (VERDICT r4 #6: one REAL codec so strict mode is exercisable
+    in-container). Returns a (h, w) uint8 grayscale array (ITU-R 601 luma
+    for color inputs) — the same contract the fake decoder fills."""
+    if len(content) < 54 or content[:2] != b"BM":
+        raise ValueError("not a BMP stream")
+    data_off = int.from_bytes(content[10:14], "little")
+    hdr_size = int.from_bytes(content[14:18], "little")
+    w = int.from_bytes(content[18:22], "little", signed=True)
+    h = int.from_bytes(content[22:26], "little", signed=True)
+    bpp = int.from_bytes(content[28:30], "little")
+    comp = int.from_bytes(content[30:34], "little")
+    if comp != 0 or bpp not in (8, 24) or w <= 0 or h == 0:
+        raise NotImplementedError(
+            f"BMP variant not supported (bpp={bpp}, compression={comp})"
+        )
+    bottom_up = h > 0
+    h = abs(h)
+    row_bytes = (w * bpp // 8 + 3) & ~3
+    raw = np.frombuffer(
+        content, np.uint8, count=row_bytes * h, offset=data_off
+    ).reshape(h, row_bytes)
+
+    def luma(b, g, r):
+        return (
+            (r.astype(np.uint32) * 299 + g.astype(np.uint32) * 587 + b.astype(np.uint32) * 114)
+            // 1000
+        ).astype(np.uint8)
+
+    if bpp == 24:
+        px = raw[:, : w * 3].reshape(h, w, 3)  # stored B,G,R
+        gray = luma(px[..., 0], px[..., 1], px[..., 2])
+    else:
+        n_colors = int.from_bytes(content[46:50], "little") or 256
+        pal = np.frombuffer(
+            content, np.uint8, count=n_colors * 4, offset=14 + hdr_size
+        ).reshape(-1, 4)  # B,G,R,reserved
+        gray = luma(pal[:, 0], pal[:, 1], pal[:, 2])[raw[:, :w]]
+    return gray[::-1] if bottom_up else gray
+
+
+def _decode_image_real(content: bytes) -> np.ndarray:
+    """Real decoder slot: BMP decodes natively (stdlib+numpy, above);
+    other formats need PIL/libjpeg on a real cluster — the plumbing is
+    codec-agnostic, only this dispatch grows."""
+    if content[:2] == b"BM":
+        return _decode_bmp(content)
     raise NotImplementedError(
-        "image codec not available in this environment; install pillow and "
-        "replace _decode_image_real (plumbing is codec-agnostic)"
+        "only BMP decodes in-container; install pillow and extend "
+        "_decode_image_real for other formats (plumbing is codec-agnostic)"
     )
 
 

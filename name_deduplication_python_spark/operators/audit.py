@@ -48,12 +48,36 @@ def audit_edges(
     est_tolerance: float = 0.15,
     jaccard_threshold: float = 0.80,
     seed: int = 42,
+    hamming_oversample: float = 10.0,
 ) -> DataFrame:
     """Returns flagged rows: (src, dst, status, est_jaccard, exact_jaccard,
-    issue). Empty result = audit clean."""
-    sampled = edges if sample_fraction >= 1.0 else edges.sample(
-        fraction=sample_fraction, seed=seed
-    )
+    via, issue). Empty result = audit clean.
+
+    Tier-stratified sampling (VERDICT r4 #8): edges admitted ONLY by the
+    SimHash Hamming ball (via='hamming') are the channel through which
+    low-shingle-J pairs enter (the measured near-J~0.5 false-merge path),
+    so uniform sampling under-audits exactly the risky stratum. When the
+    edge table carries the verify stage's ``via`` tier column, hamming-only
+    edges are sampled at min(1, sample_fraction * hamming_oversample) while
+    the other tiers keep sample_fraction; flagged rows carry ``via`` so
+    drift concentration per admission channel is directly readable."""
+    has_via = "via" in edges.columns
+    if not has_via:
+        edges = edges.withColumn("via", F.lit(None).cast("string"))
+    if sample_fraction >= 1.0:
+        sampled = edges
+    elif has_via:
+        ham_frac = min(1.0, sample_fraction * hamming_oversample)
+        # per-stratum Bernoulli sampling without a sampleBy key scan:
+        # rand() compared against a via-conditional fraction
+        sampled = edges.where(
+            F.rand(seed)
+            < F.when(F.col("via") == "hamming", F.lit(ham_frac)).otherwise(
+                F.lit(sample_fraction)
+            )
+        )
+    else:
+        sampled = edges.sample(fraction=sample_fraction, seed=seed)
     texts = extracted.select(F.col(id_col), F.col(text_col))
     joined = (
         sampled.join(
@@ -72,7 +96,7 @@ def audit_edges(
 
     out_schema = (
         "src string, dst string, status string, est_jaccard double, "
-        "exact_jaccard double"
+        "exact_jaccard double, via string"
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -87,11 +111,12 @@ def audit_edges(
                     "status": pdf["status"],
                     "est_jaccard": pdf["est_jaccard"],
                     "exact_jaccard": ex,
+                    "via": pdf["via"],
                 }
             )
 
     scored = joined.select(
-        "src", "dst", "status", "est_jaccard", "text_a", "text_b"
+        "src", "dst", "status", "est_jaccard", "via", "text_a", "text_b"
     ).mapInPandas(gen, schema=out_schema)
 
     # R4-style rules: estimate drift, exact-status inconsistency, and
@@ -120,7 +145,9 @@ def audit_edges(
     return (
         scored.withColumn("issue", issue)
         .where(F.col("issue").isNotNull())
-        .select("src", "dst", "status", "est_jaccard", "exact_jaccard", "issue")
+        .select(
+            "src", "dst", "status", "est_jaccard", "exact_jaccard", "via", "issue"
+        )
     )
 
 
@@ -224,7 +251,7 @@ def expand_group_pairs(
     clusters: DataFrame,
     id_col: str = "rid",
     cluster_col: str = "cluster_id",
-    member_cap: int = 256,
+    member_cap: int | None = 256,
 ) -> DataFrame:
     """R5: unordered member pairs within each final report group
     (reference re-expands every user x reference pair inside each group,
@@ -245,7 +272,11 @@ def expand_group_pairs(
     appears in >= min(cap, chunk size) - 1 audited pairs (the last
     partial chunk pairs within itself), which is the audit's sampling
     guarantee (audit is a sampling stage by nature — ``audit_edges``
-    likewise takes sample_fraction). Documented residual: the sorted
+    likewise takes sample_fraction). member_cap=None requests FULL R5
+    expansion (every C(n,2) pair, the reference auditor's contract) —
+    quadratic in the largest group, the caller's explicit choice.
+    Coverage dropped by chunking is quantified by ``expansion_coverage``.
+    Documented residual: the sorted
     member array itself is one collect_list row, O(n) per group — ~100 MB
     at 2M members; bounding THAT requires pre-chunking the groupBy key,
     which trades exactness of the chunk boundaries for memory."""
@@ -258,6 +289,10 @@ def expand_group_pairs(
     )
     m = F.col("m")
     n = F.size(m)
+    if member_cap is None:
+        return g.select(F.explode(_pairs_of(m)).alias("p")).select(
+            F.col("p.src").alias("src"), F.col("p.dst").alias("dst")
+        )
     small = g.where(n <= member_cap).select(
         F.explode(_pairs_of(m)).alias("p")
     )
@@ -284,20 +319,67 @@ def expand_group_pairs(
     )
 
 
+def expansion_coverage(
+    clusters: DataFrame,
+    id_col: str = "rid",
+    cluster_col: str = "cluster_id",
+    member_cap: int | None = 256,
+) -> DataFrame:
+    """Audit-coverage accounting for ``expand_group_pairs`` (ADVICE r4):
+    per multi-member group, how many of its C(n,2) pairs the chunked
+    expansion audits vs drops — closed-form from group sizes alone (no
+    pair materialization). Columns: (cluster_id, n_members, n_pairs_full,
+    n_pairs_audited, n_pairs_dropped). Sum n_pairs_dropped for the
+    corpus-level number; member_cap=None always yields zero dropped."""
+    sizes = (
+        clusters.groupBy(cluster_col)
+        .agg(F.count(id_col).alias("n_members"))
+        .where(F.col("n_members") > 1)
+    )
+    n = F.col("n_members").cast("long")
+    full = (n * (n - 1) / 2).cast("long")
+    if member_cap is None:
+        audited = full
+    else:
+        cap = F.lit(member_cap).cast("long")
+        n_chunks = F.ceil(n / cap).cast("long")
+        last = n - (n_chunks - 1) * cap  # last (possibly partial) chunk
+        audited = F.when(n <= cap, full).otherwise(
+            # full chunks pair within themselves + the partial last chunk
+            # + one head-chain edge per chunk boundary
+            (n_chunks - 1) * (cap * (cap - 1) / 2).cast("long")
+            + (last * (last - 1) / 2).cast("long")
+            + (n_chunks - 1)
+        )
+    return sizes.select(
+        cluster_col,
+        "n_members",
+        full.alias("n_pairs_full"),
+        audited.alias("n_pairs_audited"),
+        (full - audited).alias("n_pairs_dropped"),
+    )
+
+
 def audit_report_groups(
     clusters: DataFrame,
     feats: DataFrame,
     edges: DataFrame | None = None,
     id_col: str = "rid",
     cluster_col: str = "cluster_id",
+    member_cap: int | None = 256,
 ) -> DataFrame:
     """R5 group-expansion audit: run audit_name_pairs over EVERY pair
     inside each final group, not just emitted edges. Pairs with no scored
     edge carry status 'Transitive (unscored)' — the R4 remark-consistency
     rules don't apply to them (no remark exists), but every R1/R2/R3
     field/floor rule does. edges: the scored edge set (src, dst, status);
-    None audits all pairs as unscored."""
-    pairs = expand_group_pairs(clusters, id_col=id_col, cluster_col=cluster_col)
+    None audits all pairs as unscored. member_cap bounds per-group
+    expansion (see expand_group_pairs); pass None for the reference
+    auditor's FULL R5 contract; ``expansion_coverage`` quantifies what a
+    finite cap drops."""
+    pairs = expand_group_pairs(
+        clusters, id_col=id_col, cluster_col=cluster_col, member_cap=member_cap
+    )
     if edges is not None:
         # expansion pairs are canonical by ID-value order (sorted member
         # arrays), but scored edges may be canonicalized by a DIFFERENT

@@ -169,6 +169,11 @@ def _cc_single_task_hashed(edges: DataFrame) -> DataFrame:
     )
 
 
+DEFAULT_SMALL_GRAPH_THRESHOLD = 10_000_000
+DEFAULT_STRING_HASH_THRESHOLD = 200_000
+DEFAULT_BROADCAST_EDGE_THRESHOLD = 1_500_000
+
+
 def connected_components(
     edges: DataFrame,
     max_iterations: int = 50,
@@ -178,7 +183,17 @@ def connected_components(
     # while the iterative path's per-round scheduling cost ~12 s extra at
     # 2M edges (measured on the 5.44M-page protocol corpus). At 10^12-doc
     # scale the raw edge set still far exceeds this and runs iteratively.
-    small_graph_threshold: int = 10_000_000,
+    # DedupConfig.cc_small_graph_threshold exposes (and fingerprints) it;
+    # on a real cluster retune DOWN to whatever edge count one executor
+    # labels faster than the iterative path's ~2 scheduling rounds — the
+    # kernel is ~16 B/edge through a single task, so memory bounds it at
+    # roughly executor_mem / 32 B (pandas copies) edges.
+    small_graph_threshold: int = DEFAULT_SMALL_GRAPH_THRESHOLD,
+    # string ids above this edge count take the hashed-kernel + distributed
+    # relabel route (the serial string factorize/Arrow tail dominates above
+    # it; below it the two relabel joins dominate — measured crossover
+    # ~200k on local[8], see DedupConfig.cc_string_hash_threshold).
+    string_hash_threshold: int = DEFAULT_STRING_HASH_THRESHOLD,
     edge_count_hint: int | None = None,
     edges_distinct: bool = False,
 ) -> DataFrame:
@@ -210,10 +225,10 @@ def connected_components(
                 cur.schema["src"].dataType,
                 (T.LongType, T.IntegerType, T.ShortType, T.ByteType),
             )
-            # string ids above ~200k edges: the hashed kernel + relabel
+            # string ids above the crossover: the hashed kernel + relabel
             # beats the serial string factorize/Arrow cost (measured
             # crossover; below it the extra joins dominate)
-            if not integral and n > 200_000:
+            if not integral and n > string_hash_threshold:
                 return _cc_single_task_hashed(cur)
             return _cc_single_task(cur)
     cur = cur.localCheckpoint()
@@ -259,6 +274,13 @@ def components_with_exact_map(
     exact_map: DataFrame,
     edge_count_hint: int | None = None,
     edges_distinct: bool = False,
+    small_graph_threshold: int = DEFAULT_SMALL_GRAPH_THRESHOLD,
+    string_hash_threshold: int = DEFAULT_STRING_HASH_THRESHOLD,
+    # explicit-broadcast bound for the member map (2x|edges| rows of two
+    # ids each): keep well under the driver/executor broadcast budget —
+    # ~100 MB at the default. Retune with executor memory on a real
+    # cluster (DedupConfig.cc_broadcast_edge_threshold fingerprints it).
+    broadcast_edge_threshold: int = DEFAULT_BROADCAST_EDGE_THRESHOLD,
 ) -> DataFrame:
     """Cluster expansion through an exact-duplicate map (signature_collapse
     output): CC runs over REPRESENTATIVE edges only; every url then joins
@@ -267,12 +289,16 @@ def components_with_exact_map(
     uncollapsed pipeline (parity-tested). Reps without edges label
     themselves via the left-join coalesce (singleton semantics)."""
     comp = connected_components(
-        edges, edge_count_hint=edge_count_hint, edges_distinct=edges_distinct
+        edges,
+        edge_count_hint=edge_count_hint,
+        edges_distinct=edges_distinct,
+        small_graph_threshold=small_graph_threshold,
+        string_hash_threshold=string_hash_threshold,
     )
     comp = comp.select(F.col("url").alias("rep"), "cluster_id").where(
         F.col("rep") != F.col("cluster_id")
     )
-    if edge_count_hint is not None and edge_count_hint <= 1_500_000:
+    if edge_count_hint is not None and edge_count_hint <= broadcast_edge_threshold:
         comp = F.broadcast(comp)
     return exact_map.join(comp, "rep", "left").select(
         "url", F.coalesce("cluster_id", "rep").alias("cluster_id")
@@ -286,6 +312,9 @@ def components_with_singletons(
     edge_count_hint: int | None = None,
     ids_unique: bool = False,
     edges_distinct: bool = False,
+    small_graph_threshold: int = DEFAULT_SMALL_GRAPH_THRESHOLD,
+    string_hash_threshold: int = DEFAULT_STRING_HASH_THRESHOLD,
+    broadcast_edge_threshold: int = DEFAULT_BROADCAST_EDGE_THRESHOLD,
 ) -> DataFrame:
     """Assign every id a cluster: edge components get min-id labels,
     untouched ids are their own singleton cluster (reference analog: rows
@@ -295,13 +324,17 @@ def components_with_singletons(
     (true for pipeline stage outputs keyed by url) — skips the distinct's
     full-table shuffle."""
     comp = connected_components(
-        edges, edge_count_hint=edge_count_hint, edges_distinct=edges_distinct
+        edges,
+        edge_count_hint=edge_count_hint,
+        edges_distinct=edges_distinct,
+        small_graph_threshold=small_graph_threshold,
+        string_hash_threshold=string_hash_threshold,
     )
     # roots label themselves — the left-join coalesce reconstructs them, so
     # only MEMBER rows (url != cluster_id) need to flow into the join
     # (~40% fewer rows out of the CC stage)
     comp = comp.where(F.col("url") != F.col("cluster_id"))
-    if edge_count_hint is not None and edge_count_hint <= 1_500_000:
+    if edge_count_hint is not None and edge_count_hint <= broadcast_edge_threshold:
         # small-graph regime: the member map is bounded by 2x|edges| rows —
         # broadcast it so the big ids side never shuffles (the CC output is
         # a single partition; a shuffle join would serialize on its one

@@ -331,9 +331,16 @@ def signature_collapse(
     Cost: one narrow shuffle of (sig_hash, url) — no text, no minhash
     payload. hash_bits picks the content-hash width: 64 (default, one
     xxhash64 — collision risk ~n^2/2^65, ~5e-8 at 10^6 docs but ~3% per
-    corpus at 10^12) or 128 (two independently-seeded xxhash64 columns —
-    odds n^2/2^129, the 10^12-doc setting; DedupConfig.collapse_hash_bits
-    exposes it and fingerprints it). Collapse groups are identical under
+    corpus at 10^12) or 128 (two xxhash64 columns over the same inputs
+    distinguished by a prepended seed literal — the wide setting for
+    10^12-doc runs). Honest bound for the 128 mode (ADVICE r4): the two
+    words are seed-variants of one hash family, not provably independent
+    128-bit output, so n^2/2^129 is the heuristic target, not a theorem;
+    no xxhash64 cross-seed correlation is known, and any residual
+    correlation still leaves the joint collision rate far below the
+    single-word n^2/2^65. A deployment wanting the formal bound swaps the
+    pair for md5(payload) split into two longs — same grouping plan, one
+    digest instead of two hashes. Collapse groups are identical under
     both widths whenever neither collides (parity-tested).
     A giant identical family makes its sig_h a skewed join key on the
     map-back join; the groupBy side is map-side combined and AQE skew

@@ -115,3 +115,236 @@ def substring_pairs(
         .where(F.col("n_shared_fps") >= min_shared_fps)
     )
     return shared
+
+
+# --------------------------------------------------------------------------
+# Span REMOVAL (VERDICT r4 #3): consume the winnowing matches to locate and
+# cut the shared run itself — the Lee et al. 2022 substring-dedup action
+# (their suffix-array pipeline removes one occurrence of every duplicated
+# span >= 50 tokens; keep-ONE policy). Distributed shape:
+#   anchors   (doc, fp, pos): winnowed fingerprints WITH positions — the
+#             winnowing guarantee says two docs sharing a run of
+#             >= gram + window - 1 chars share at least one selected
+#             fingerprint, i.e. a common anchor INSIDE the run;
+#   pairs     capped fingerprint-bucket join (same machinery as above),
+#             canonical src < dst — the MIN id is the keeper (keep-first);
+#   extend    per (pair, anchor): longest common extension around the
+#             anchor by direct char comparison of both texts (also the
+#             hash-collision guard: a colliding gram extends to < gram
+#             chars and is dropped) -> spans to cut from dst;
+#   cut       per doc: merge overlapping spans, rebuild the text.
+# Positions are CHARACTER offsets (the anchor kernel hashes code points
+# via utf-32, not utf-8 bytes) so cuts can never split a multi-byte char.
+# --------------------------------------------------------------------------
+
+
+def winnow_anchors_np(
+    text: str, gram_chars: int = 64, window: int = 32
+) -> tuple[np.ndarray, np.ndarray]:
+    """(fingerprints, char positions) of the winnow-selected grams of one
+    text. Selection = first-minimum per window (deterministic and
+    self-synchronizing: identical windows of gram hashes select the same
+    relative position, which is what the shared-anchor guarantee needs)."""
+    codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(
+        np.uint64
+    )
+    n = len(codes)
+    if n == 0:
+        return np.array([], dtype=np.uint64), np.array([], dtype=np.int64)
+    g = min(gram_chars, n)
+    acc = np.zeros(n - g + 1, dtype=np.uint64)
+    for j in range(g):
+        acc = acc * _B + codes[j : j + n - g + 1]
+    if len(acc) <= window:
+        p = int(acc.argmin())
+        return acc[p : p + 1], np.array([p], dtype=np.int64)
+    sw = np.lib.stride_tricks.sliding_window_view(acc, window)
+    sel = np.unique(sw.argmin(axis=1) + np.arange(len(sw), dtype=np.int64))
+    return acc[sel], sel
+
+
+def anchor_stage(
+    extracted: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    gram_chars: int = 64,
+    window: int = 32,
+) -> DataFrame:
+    """(id, text) -> (id, fp, pos): winnowed fingerprints with positions."""
+    out_schema = f"{id_col} string, fp bigint, pos int"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[str] = []
+            fps: list[np.ndarray] = []
+            poss: list[np.ndarray] = []
+            for i, t in zip(pdf[id_col].astype(str), pdf[text_col]):
+                if not t:
+                    continue
+                f, p = winnow_anchors_np(t, gram_chars, window)
+                if len(f):
+                    ids.extend([i] * len(f))
+                    fps.append(f)
+                    poss.append(p)
+            if not ids:
+                continue
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "fp": np.concatenate(fps).view(np.int64),
+                    "pos": np.concatenate(poss).astype(np.int32),
+                }
+            )
+
+    return extracted.select(id_col, text_col).mapInPandas(gen, schema=out_schema)
+
+
+def shared_spans(
+    extracted: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    gram_chars: int = 64,
+    window: int = 32,
+    min_run: int | None = None,
+    bucket_cap: int = 64,
+) -> DataFrame:
+    """(dst, start, end) char spans to CUT: for every candidate pair the
+    maximal shared run around each common anchor, attributed to the
+    GREATER id (src < dst canonical order; the min id keeps its copy).
+    Runs shorter than min_run (default gram_chars + window - 1, the
+    winnowing detection guarantee) are never cut. Spans from different
+    pairs/anchors may overlap — the cut stage merges them."""
+    min_run = min_run if min_run is not None else gram_chars + window - 1
+    anchors = anchor_stage(extracted, id_col, text_col, gram_chars, window)
+    keys = anchors.select(id_col, F.col("fp").alias("bh")).distinct()
+    pairs, _ = candidate_pairs(
+        keys, id_col=id_col, bucket_cap=bucket_cap, with_stats=False
+    )
+    a = anchors.select(F.col(id_col).alias("src"), "fp", F.col("pos").alias("pos_a"))
+    b = anchors.select(F.col(id_col).alias("dst"), "fp", F.col("pos").alias("pos_b"))
+    anch = (
+        pairs.join(a, "src")
+        .join(b, ["dst", "fp"])
+        .groupBy("src", "dst")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("pos_b"), F.col("pos_a")))
+            ).alias("anchors")
+        )
+    )
+    texts = extracted.select(id_col, text_col)
+    withtexts = anch.join(
+        texts.select(F.col(id_col).alias("src"), F.col(text_col).alias("text_a")),
+        "src",
+    ).join(
+        texts.select(F.col(id_col).alias("dst"), F.col(text_col).alias("text_b")),
+        "dst",
+    )
+
+    g = gram_chars
+
+    def extend(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            docs: list[str] = []
+            starts: list[int] = []
+            ends: list[int] = []
+            for dst, anchor_list, ta, tb in zip(
+                pdf["dst"], pdf["anchors"], pdf["text_a"], pdf["text_b"]
+            ):
+                done_to = -1  # end of the last span found in tb (sorted by pos_b)
+                for row in anchor_list:
+                    pb, pa = int(row["pos_b"]), int(row["pos_a"])
+                    if pb < done_to:  # anchor inside an already-cut span
+                        continue
+                    ge = min(g, len(ta) - pa, len(tb) - pb)
+                    if ta[pa : pa + ge] != tb[pb : pb + ge]:
+                        continue  # 64-bit gram-hash collision: not a run
+                    i = 0
+                    while pa - 1 - i >= 0 and pb - 1 - i >= 0 and ta[pa - 1 - i] == tb[pb - 1 - i]:
+                        i += 1
+                    j = ge
+                    while pa + j < len(ta) and pb + j < len(tb) and ta[pa + j] == tb[pb + j]:
+                        j += 1
+                    start, end = pb - i, pb + j
+                    if end - start >= min_run:
+                        docs.append(dst)
+                        starts.append(start)
+                        ends.append(end)
+                        done_to = end
+            if not docs:
+                continue
+            yield pd.DataFrame(
+                {
+                    "dst": docs,
+                    "start": np.array(starts, dtype=np.int32),
+                    "end": np.array(ends, dtype=np.int32),
+                }
+            )
+
+    return (
+        withtexts.mapInPandas(extend, schema="dst string, start int, end int")
+        .distinct()
+    )
+
+
+def dedup_spans(
+    pages: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    gram_chars: int = 64,
+    window: int = 32,
+    min_run: int | None = None,
+    bucket_cap: int = 64,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Substring (span-level) dedup: cut every cross-document shared run of
+    >= min_run chars (default gram_chars + window - 1) from all but the
+    first (minimum-id) document carrying it — keep-first, the Lee et al.
+    2022 policy. Untouched documents pass through byte-identical; touched
+    documents keep everything outside the cut spans in original order.
+
+    Guarantee (tested): a run of length >= gram + window - 1 shared by two
+    docs survives in exactly ONE of them; shorter shared runs are never
+    touched. Caveat at corpus scale: hot-fingerprint bucket capping
+    (bucket_cap, same skew guard as the LSH join) can leave a run in more
+    than one KEEPER when the pair linking two non-minimum carriers was
+    capped away — the same residual-duplicate tradeoff as capped LSH."""
+    out_col = out_col or text_col
+    spans = shared_spans(
+        pages, id_col, text_col, gram_chars, window, min_run, bucket_cap
+    )
+    per_doc = spans.groupBy(F.col("dst").alias(id_col)).agg(
+        F.sort_array(F.collect_list(F.struct("start", "end"))).alias("spans")
+    )
+    docs = pages.select(id_col, text_col).join(per_doc, id_col)
+
+    def cut(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[str] = []
+            outs: list[str] = []
+            for i, t, sp in zip(pdf[id_col], pdf[text_col], pdf["spans"]):
+                merged: list[list[int]] = []
+                for row in sp:  # sorted by start
+                    s, e = int(row["start"]), int(row["end"])
+                    if merged and s <= merged[-1][1]:
+                        merged[-1][1] = max(merged[-1][1], e)
+                    else:
+                        merged.append([s, e])
+                parts = []
+                prev = 0
+                for s, e in merged:
+                    parts.append(t[prev:s])
+                    prev = e
+                parts.append(t[prev:])
+                ids.append(i)
+                outs.append("".join(parts))
+            if not ids:
+                continue
+            yield pd.DataFrame({id_col: ids, "_cut": outs})
+
+    rebuilt = docs.mapInPandas(cut, schema=f"{id_col} string, _cut string")
+    others = [c for c in pages.columns if c != out_col]
+    return pages.join(rebuilt, id_col, "left").select(
+        *others,
+        F.coalesce("_cut", F.col(text_col)).alias(out_col),
+    )

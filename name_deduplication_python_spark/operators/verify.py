@@ -12,6 +12,20 @@ per-class thresholds (SURVEY §4.1 "pass short-circuit" note):
                   Fuzzy Match  if est_jaccard >= threshold
                                OR hamming <= radius
                   (else the candidate edge is dropped)
+  tier column:    via = 'both' | 'estimator' | 'hamming' — which
+                  criterion admitted the edge (Exact Match edges are
+                  'both' by construction). Downstream consumers filter
+                  or stratify on it: hamming-only edges are the channel
+                  through which token-cosine-similar but low-shingle-J
+                  pairs (near-J~0.5) enter, per the north star's
+                  independent Hamming-ball criterion.
+  precision knob: hamming_est_floor (None = off, reference semantics) —
+                  when set, a hamming-only edge additionally requires
+                  est_jaccard >= floor. theta - 2*z*sigma (~0.635 at the
+                  default config) keeps J>=theta recall intact
+                  (P(est < floor | J=theta) ~ 1e-5) while rejecting
+                  J~0.5 pairs at ~1e-3 (their est concentrates at 0.5,
+                  sigma ~ 0.044).
 
 Entirely native expressions — zip_with/aggregate/bit_count run inside
 whole-stage codegen; no Python in this stage.
@@ -80,12 +94,24 @@ def score_pairs(
     return scored
 
 
+def hamming_floor(
+    jaccard_threshold: float = 0.80, num_hashes: int = 128, z: float = 2.33
+) -> float:
+    """The recommended strict-mode hamming_est_floor: theta - 2*z*sigma —
+    the same symmetric-tail bound the estimator-band PRECISION gate uses
+    (tests/test_recall.py::test_precision_of_widened_estimator_band).
+    ~0.635 at the default config."""
+    sigma = (jaccard_threshold * (1 - jaccard_threshold) / num_hashes) ** 0.5
+    return jaccard_threshold - 2 * z * sigma
+
+
 def classify_pairs(
     scored: DataFrame,
     jaccard_threshold: float = 0.80,
     simhash_radius: int = 3,
     num_hashes: int = 128,
     estimator_z: float = 2.33,
+    hamming_est_floor: float | None = None,
 ) -> DataFrame:
     """Threshold classification (F3 analog): keep verified edges only.
 
@@ -103,23 +129,39 @@ def classify_pairs(
     The symmetric cost — sub-threshold pairs admitted with the same tail
     probability — is bounded the same way and is what the audit stage's
     exact-Jaccard recompute exists to measure.
+
+    hamming_est_floor (precision tier, VERDICT r4 #1): the Hamming tier is
+    an INDEPENDENT criterion — it admits token-frequency-similar docs whose
+    shingle-J sits near 0.5 (measured false-merge rate 0.11-0.22 on planted
+    near-J~0.5 families). When set, hamming-only admission additionally
+    requires est_jaccard >= floor (see ``hamming_floor`` for the
+    recommended value); None preserves the reference/north-star OR
+    semantics unchanged. Every emitted edge carries ``via`` in
+    {'both','estimator','hamming'} so audit/reporting can stratify on the
+    admission channel either way.
     """
     slack = estimator_z * (jaccard_threshold * (1 - jaccard_threshold) / num_hashes) ** 0.5
+    est_ok = F.col("est_jaccard") >= jaccard_threshold - slack
+    ham_ok = F.col("hamming") <= simhash_radius
+    if hamming_est_floor is not None:
+        ham_ok = ham_ok & (F.col("est_jaccard") >= hamming_est_floor)
     status = (
         F.when(
             (F.col("est_jaccard") >= 1.0) & (F.col("hamming") == 0), F.lit("Exact Match")
         )
-        .when(
-            (F.col("est_jaccard") >= jaccard_threshold - slack)
-            | (F.col("hamming") <= simhash_radius),
-            F.lit("Fuzzy Match"),
-        )
+        .when(est_ok | ham_ok, F.lit("Fuzzy Match"))
         .otherwise(F.lit(None))
+    )
+    via = (
+        F.when(est_ok & ham_ok, F.lit("both"))
+        .when(est_ok, F.lit("estimator"))
+        .otherwise(F.lit("hamming"))
     )
     return (
         scored.withColumn("status", status)
         .where(F.col("status").isNotNull())
-        .select("src", "dst", "est_jaccard", "hamming", "status")
+        .withColumn("via", via)
+        .select("src", "dst", "est_jaccard", "hamming", "status", "via")
     )
 
 
@@ -132,6 +174,7 @@ def verify_stage(
     simhash_radius: int = 3,
     estimator_z: float = 2.33,
     label_col: str | None = None,
+    hamming_est_floor: float | None = None,
 ) -> DataFrame:
     return classify_pairs(
         score_pairs(
@@ -141,4 +184,5 @@ def verify_stage(
         simhash_radius=simhash_radius,
         num_hashes=num_hashes,
         estimator_z=estimator_z,
+        hamming_est_floor=hamming_est_floor,
     )

@@ -55,6 +55,24 @@ class DedupConfig:
     jaccard_threshold: float = DEFAULT_CONFIG["jaccard_threshold"]
     bucket_cap: int = DEFAULT_CONFIG["bucket_cap"]
     seed: int = DEFAULT_CONFIG["seed"]
+    # hamming_est_floor (precision tier, VERDICT r4 #1): None keeps the
+    # north-star OR semantics (Hamming<=radius admits regardless of the
+    # MinHash estimate); a float requires hamming-only edges to also show
+    # est_jaccard >= floor. operators.verify.hamming_floor() returns the
+    # recommended strict value (theta - 2*z*sigma ~ 0.635): measured on
+    # planted families it cuts the near-J~0.5 false-merge rate from
+    # 0.11-0.22 to ~0 while leaving J>=0.8 recall intact (gate-tested).
+    # Every edge carries a `via` tier column under BOTH settings.
+    hamming_est_floor: float | None = None
+    # connected-components crossovers (VERDICT r4 #5) — measured defaults
+    # from operators/components.py docstrings; fingerprinted so retuning
+    # never silently reuses checkpoints. On a real cluster: lower
+    # cc_small_graph_threshold to what one executor labels quickly
+    # (~16 B/edge through a single task), raise cc_broadcast_edge_threshold
+    # with executor memory (~64 B/edge of broadcast table).
+    cc_small_graph_threshold: int = 10_000_000
+    cc_string_hash_threshold: int = 200_000
+    cc_broadcast_edge_threshold: int = 1_500_000
     # fuse_stages trades resume granularity for wall-clock: the five-stage
     # layout becomes three jobs (extract fused into signatures; the pair
     # explosion fused into the verify join), removing two full
@@ -80,9 +98,11 @@ class DedupConfig:
     # collapse_hash_bits: width of the signature-collapse content hash
     # (operators.signatures.signature_collapse): 64 (one xxhash64 — fine
     # to ~10^9 docs, collision odds n^2/2^65) or 128 (two seeded xxhash64
-    # columns — the 10^12-doc setting, odds n^2/2^129). Clusters are
-    # identical under both widths (parity-tested); the knob is part of
-    # the config fingerprint so a width change never reuses checkpoints.
+    # columns — the 10^12-doc setting; heuristically ~n^2/2^129, see the
+    # signature_collapse docstring for the honest caveat on seed-variant
+    # independence). Clusters are identical under both widths
+    # (parity-tested); the knob is part of the config fingerprint so a
+    # width change never reuses checkpoints.
     collapse_hash_bits: int = 64
     extra: dict = field(default_factory=dict)
 
@@ -139,12 +159,9 @@ def _lineage_rows(path: str, stage: str) -> list[dict]:
     import pyarrow.parquet as pq
 
     rows = []
-    # parquet stages keep part files at the top level; Iceberg tables
-    # keep them under data/ (the footer-walk contract is identical)
-    if not any(n.endswith(".parquet") for n in os.listdir(path)):
-        data_dir = os.path.join(path, "data")
-        if os.path.isdir(data_dir):
-            path = data_dir
+    # parquet stages only — iceberg stages use _lineage_rows_iceberg (the
+    # committed snapshot's file list; a footer walk over data/ would count
+    # orphaned pre-commit files)
     part_files = sorted(n for n in os.listdir(path) if n.endswith(".parquet"))
     for i, name in enumerate(part_files):  # ids contiguous from 0 (no _SUCCESS/.crc gaps)
         meta = pq.read_metadata(os.path.join(path, name))
@@ -200,38 +217,93 @@ class DedupPipeline:
                 json.dump(fp, f)
 
     def _path(self, stage: str) -> str:
+        if self.cfg.table_format == "iceberg":
+            # hadoop-catalog layout: warehouse/<namespace>/<table>
+            return os.path.join(self.workdir, "stages", stage)
         return os.path.join(self.workdir, stage)
 
     def _stage_done(self, stage: str) -> bool:
         return _done(self._path(stage), self.cfg.table_format)
 
-    def _write_stage(self, df: DataFrame, path: str) -> None:
+    # catalog name is derived from the workdir so two pipelines with
+    # different workdirs in one session never share a warehouse setting
+    def _iceberg_catalog(self) -> str:
+        import hashlib
+
+        tag = hashlib.sha256(self.workdir.encode()).hexdigest()[:10]
+        name = f"ndps_hadoop_{tag}"
+        conf = self.spark.conf
+        if conf.get(f"spark.sql.catalog.{name}", None) is None:
+            conf.set(
+                f"spark.sql.catalog.{name}", "org.apache.iceberg.spark.SparkCatalog"
+            )
+            conf.set(f"spark.sql.catalog.{name}.type", "hadoop")
+            conf.set(f"spark.sql.catalog.{name}.warehouse", self.workdir)
+        return name
+
+    def _iceberg_table(self, stage: str) -> str:
+        return f"{self._iceberg_catalog()}.stages.{stage}"
+
+    def _write_stage(self, df: DataFrame, stage: str) -> None:
         """THE format dispatch point: every stage table is written here
         and read via _read_stage, so the north_star's 'Iceberg-style
         tables' is a DedupConfig flip (table_format='iceberg'), not a
-        rewrite. The iceberg branch targets a path-based (HadoopTables)
-        table — same workdir layout, snapshot-commit atomicity; it needs
-        the iceberg-spark runtime jar on the session (absent in this
-        sandbox, so the branch raises a clear error instead of silently
-        writing parquet)."""
+        rewrite. The iceberg branch writes through a per-workdir HADOOP
+        catalog (warehouse = workdir; table stages.<stage> lands at
+        workdir/stages/<stage> — same layout, snapshot-commit atomicity)
+        with the V2 writer, whose createOrReplace CREATES the table on
+        first write (the V1 path-based writer cannot, ADVICE r4). Needs
+        the iceberg-spark runtime jar (spark.jars.packages=
+        org.apache.iceberg:iceberg-spark-runtime-<spark>_<scala>:<ver>);
+        only missing-jar/catalog-plugin errors are rewrapped with that
+        hint — real Iceberg errors re-raise unchanged."""
         if self.cfg.table_format == "iceberg":
             try:
-                df.write.format("iceberg").mode("overwrite").save(path)
-            except Exception as e:  # jar absent: surface the real cause
-                raise RuntimeError(
-                    "table_format='iceberg' needs the iceberg-spark-runtime "
-                    "jar on the Spark session (spark.jars.packages="
-                    "org.apache.iceberg:iceberg-spark-runtime-...); "
-                    f"underlying error: {e}"
-                ) from e
+                df.writeTo(self._iceberg_table(stage)).using(
+                    "iceberg"
+                ).createOrReplace()
+            except Exception as e:
+                msg = str(e)
+                if (
+                    "ClassNotFound" in msg
+                    or "Failed to find data source" in msg
+                    or "Cannot find catalog plugin" in msg
+                    or "CATALOG_NOT_FOUND" in msg
+                ):
+                    raise RuntimeError(
+                        "table_format='iceberg' needs the iceberg-spark-"
+                        "runtime jar on the Spark session (spark.jars."
+                        "packages=org.apache.iceberg:iceberg-spark-runtime-"
+                        f"...); underlying error: {e}"
+                    ) from e
+                raise
         else:
-            df.write.mode("overwrite").parquet(path)
+            df.write.mode("overwrite").parquet(self._path(stage))
 
     def _read_stage(self, stage: str) -> DataFrame:
-        path = self._path(stage)
         if self.cfg.table_format == "iceberg":
-            return self.spark.read.format("iceberg").load(path)
-        return self.spark.read.parquet(path)
+            return self.spark.read.table(self._iceberg_table(stage))
+        return self.spark.read.parquet(self._path(stage))
+
+    def _lineage_rows_iceberg(self, stage: str) -> list[dict]:
+        """Lineage for an iceberg stage from the COMMITTED snapshot's
+        `files` metadata table — data/ may hold orphaned pre-commit files
+        a footer walk would wrongly count (ADVICE r4); the snapshot file
+        list is the committed truth."""
+        files = (
+            self.spark.read.table(f"{self._iceberg_table(stage)}.files")
+            .select("file_path", "record_count")
+            .collect()
+        )
+        return [
+            {
+                "stage": stage,
+                "partition_id": i,
+                "n_rows": int(r["record_count"]),
+                "file": os.path.basename(r["file_path"]),
+            }
+            for i, r in enumerate(sorted(files, key=lambda r: r["file_path"]))
+        ]
 
     def _materialize(self, stage: str, df: DataFrame) -> DataFrame:
         """Write stage output + lineage unless already done; read it back
@@ -239,9 +311,13 @@ class DedupPipeline:
         path = self._path(stage)
         if not self._stage_done(stage):
             t0 = time.time()
-            self._write_stage(df, path)
+            self._write_stage(df, stage)
             self.stage_seconds[stage] = time.time() - t0
-            rows = _lineage_rows(path, stage)
+            rows = (
+                self._lineage_rows_iceberg(stage)
+                if self.cfg.table_format == "iceberg"
+                else _lineage_rows(path, stage)
+            )
             # lineage rows are driver-side metadata (a handful per stage):
             # a pyarrow write keeps the parquet-table contract without
             # paying a Spark job per stage (scheduling latency was pure
@@ -380,6 +456,7 @@ class DedupPipeline:
                     num_hashes=cfg.num_hashes,
                     jaccard_threshold=cfg.jaccard_threshold,
                     simhash_radius=cfg.simhash_radius,
+                    hamming_est_floor=cfg.hamming_est_floor,
                 ),
             )
 
@@ -401,6 +478,25 @@ class DedupPipeline:
                     ),
                 )
 
+        if self.cfg.extra.get("span_dedup"):
+            # substring SPAN REMOVAL (Lee et al. 2022 keep-first policy):
+            # a rewritten-text table alongside the cluster output — span
+            # cuts change documents, they don't merge them, so this is a
+            # sibling artifact, not a cluster input (operators.substring.
+            # dedup_spans docstring has the guarantee + capping caveat)
+            if not self._stage_done("spans_removed"):
+                from .operators.substring import dedup_spans
+
+                self._materialize(
+                    "spans_removed",
+                    dedup_spans(
+                        extracted,
+                        gram_chars=self.cfg.extra.get("substring_gram", 64),
+                        window=self.cfg.extra.get("substring_window", 32),
+                        bucket_cap=cfg.bucket_cap,
+                    ),
+                )
+
         if self._stage_done("clusters"):
             clusters = self._read_stage("clusters")
         else:
@@ -413,6 +509,9 @@ class DedupPipeline:
                     exact_map,
                     edge_count_hint=n_edges,
                     edges_distinct=True,
+                    small_graph_threshold=cfg.cc_small_graph_threshold,
+                    string_hash_threshold=cfg.cc_string_hash_threshold,
+                    broadcast_edge_threshold=cfg.cc_broadcast_edge_threshold,
                 )
             else:
                 clusters_df = components_with_singletons(
@@ -422,6 +521,9 @@ class DedupPipeline:
                     edge_count_hint=n_edges,
                     ids_unique=True,  # stage outputs are keyed by url
                     edges_distinct=True,  # candidate_pairs already dedups
+                    small_graph_threshold=cfg.cc_small_graph_threshold,
+                    string_hash_threshold=cfg.cc_string_hash_threshold,
+                    broadcast_edge_threshold=cfg.cc_broadcast_edge_threshold,
                 )
             clusters = self._materialize("clusters", clusters_df)
 
@@ -500,6 +602,7 @@ class DedupPipeline:
                     num_hashes=cfg.num_hashes,
                     jaccard_threshold=cfg.jaccard_threshold,
                     simhash_radius=cfg.simhash_radius,
+                    hamming_est_floor=cfg.hamming_est_floor,
                 ),
             )
             n_edges = self._stage_rowcount("edges", edges)
@@ -522,6 +625,9 @@ class DedupPipeline:
                     exact_map,
                     edge_count_hint=n_edges,
                     edges_distinct=True,
+                    small_graph_threshold=cfg.cc_small_graph_threshold,
+                    string_hash_threshold=cfg.cc_string_hash_threshold,
+                    broadcast_edge_threshold=cfg.cc_broadcast_edge_threshold,
                 )
             else:
                 clusters_df = components_with_singletons(
@@ -531,6 +637,9 @@ class DedupPipeline:
                     edge_count_hint=n_edges,
                     ids_unique=True,
                     edges_distinct=True,  # candidate_pairs already dedups
+                    small_graph_threshold=cfg.cc_small_graph_threshold,
+                    string_hash_threshold=cfg.cc_string_hash_threshold,
+                    broadcast_edge_threshold=cfg.cc_broadcast_edge_threshold,
                 )
             clusters = self._materialize("clusters", clusters_df)
         return clusters

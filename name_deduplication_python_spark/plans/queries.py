@@ -12,6 +12,8 @@ engine config) are rows-only checks per the driver contract.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -885,8 +887,45 @@ WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= {_SHINGLE_THETA}
 # string is static, so it names the driver's correctness scale (sf0.01)
 # explicitly; the Spark side writes one view per sf so bench runs at
 # other scales never clobber the driver's view.
-_SIMHASH_VIEW_DIR = "/tmp/ndps_driver_views/simhash_sigs"
+#
+# View-dir hygiene (ADVICE r4): the root is PER-USER (uid suffix; env
+# SPARK_GRAFT_VIEW_DIR overrides) so a world-shared /tmp path can't be
+# pre-created/squatted by another account, and each refresh lands in a
+# fresh v_<rand> subdir with an ATOMIC `current` symlink swap — a
+# concurrent run's oracle read sees either the old snapshot or the new
+# one, never a mid-overwrite mix of part files.
+_SIMHASH_VIEW_ROOT = os.environ.get(
+    "SPARK_GRAFT_VIEW_DIR",
+    os.path.join("/tmp", f"ndps_driver_views_u{os.getuid()}", "simhash_sigs"),
+)
 _SIMHASH_ORACLE_SF = "sf0.01"
+
+
+def _refresh_view(df, base: str) -> str:
+    """Write df under base/v_<rand> and atomically point base/current at
+    it; prune superseded versions best-effort (keep the newest two so an
+    in-flight reader of the previous snapshot never loses its files).
+    Returns the stable read path (the symlink)."""
+    import shutil
+    import uuid
+
+    os.makedirs(base, exist_ok=True)
+    vdir = os.path.join(base, f"v_{uuid.uuid4().hex[:12]}")
+    df.write.mode("overwrite").parquet(vdir)
+    tmp_link = os.path.join(base, f".lnk_{uuid.uuid4().hex[:8]}")
+    os.symlink(vdir, tmp_link)
+    current = os.path.join(base, "current")
+    os.replace(tmp_link, current)
+    try:
+        versions = sorted(
+            (n for n in os.listdir(base) if n.startswith("v_")),
+            key=lambda n: os.path.getmtime(os.path.join(base, n)),
+        )
+        for stale in versions[:-2]:
+            shutil.rmtree(os.path.join(base, stale), ignore_errors=True)
+    except OSError:
+        pass
+    return current
 
 
 def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -909,16 +948,16 @@ def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-sf view, so nothing is clobbered — the oracle would just read the
     sf0.01 view). And unlike the other (side-effect-free) query builders,
     invoking this callable runs the signature job eagerly to refresh the
-    view — required so the oracle can never see stale signatures."""
-    import os
-
+    view — required so the oracle can never see stale signatures. The
+    refresh is concurrency-safe: per-user root + fresh version subdir +
+    atomic `current` symlink swap (see _refresh_view)."""
     sigs = _doc_sigs(spark, sf_dir).select(
         F.col("url").cast("bigint").alias("doc_id"), "simhash"
     )
-    view = os.path.join(
-        _SIMHASH_VIEW_DIR, os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join(
+        _SIMHASH_VIEW_ROOT, os.path.basename(os.path.normpath(sf_dir))
     )
-    sigs.write.mode("overwrite").parquet(view)
+    view = _refresh_view(sigs, base)
     sigs = spark.read.parquet(view)
     out = simhash_hamming_pairs(
         sigs,
@@ -934,8 +973,8 @@ def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SIMHASH_NEAR_PAIRS = f"""
 SELECT a.doc_id AS src, b.doc_id AS dst,
        bit_count(xor(a.simhash, b.simhash))::INT AS hamming
-FROM read_parquet('{_SIMHASH_VIEW_DIR}/{_SIMHASH_ORACLE_SF}/*.parquet') a
-JOIN read_parquet('{_SIMHASH_VIEW_DIR}/{_SIMHASH_ORACLE_SF}/*.parquet') b
+FROM read_parquet('{_SIMHASH_VIEW_ROOT}/{_SIMHASH_ORACLE_SF}/current/*.parquet') a
+JOIN read_parquet('{_SIMHASH_VIEW_ROOT}/{_SIMHASH_ORACLE_SF}/current/*.parquet') b
   ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {DEFAULT_CONFIG["simhash_radius"]}
 """

@@ -76,13 +76,54 @@ class IncrementalDedup:
         run over BOTH sides so the pruning stays correct if a caller feeds
         symmetric pairs; ids are 8-byte keys, payloads shuffle only for
         touched docs. Round-2 shipped the WHOLE store's 512 B payloads into
-        the verify join every micro-batch — O(corpus) per epoch."""
+        the verify join every micro-batch — O(corpus) per epoch. The
+        ``epoch`` column is RETAINED for the re-crawl latest-version filter
+        (_latest_only); callers drop it before verify."""
         touched = (
             pairs.select(F.col("src").alias("url"))
             .union(pairs.select(F.col("dst").alias("url")))
             .distinct()
         )
-        return old_sigs.join(touched, "url", "left_semi").drop("epoch")
+        return old_sigs.join(touched, "url", "left_semi")
+
+    def _latest_only(
+        self, df: DataFrame, upto_epoch: int, candidates: DataFrame
+    ) -> DataFrame:
+        """Re-crawl semantics (latest-epoch-wins, VERDICT r4 #4): a url
+        crawled in several epochs has one signature/band-key row set PER
+        epoch in the store; unfiltered reads would pair and verify against
+        STALE versions (and the verify join would fan out per version).
+        Keep only rows belonging to each url's LATEST store epoch
+        < upto_epoch.
+
+        The url -> max(epoch) map is derived from the signatures store's
+        (url, epoch) projection — epoch is the hive partition column and
+        url a single string column, so the scan reads one column and never
+        touches the 512 B payloads — restricted FIRST to ``candidates``
+        (O(touched) urls), so the per-epoch shuffle stays O(touched).
+        Crucially the max is computed over the url's FULL store history,
+        not the bucket-pruned subset: a url whose latest version changed
+        text (different buckets) must yield NO rows when only its stale
+        version's buckets collide with the batch — filtering the pruned
+        subset by its own max epoch would resurrect the stale version.
+        A 10^12-doc deployment replaces the projection scan with a
+        compacted current-version pointer table maintained per epoch; the
+        filter contract is identical."""
+        cand = candidates.select("url").distinct()
+        sig_root = os.path.join(self.store, "signatures")
+        latest = (
+            self.spark.read.parquet(sig_root)
+            .where(F.col("epoch") < upto_epoch)
+            .select("url", "epoch")
+            .join(F.broadcast(cand), "url", "left_semi")
+            .groupBy("url")
+            .agg(F.max("epoch").alias("_last_epoch"))
+        )
+        return (
+            df.join(F.broadcast(latest), "url")
+            .where(F.col("epoch") == F.col("_last_epoch"))
+            .drop("_last_epoch")
+        )
 
     def _pruned_store_keys(
         self, old_keys: DataFrame, new_keys: DataFrame
@@ -172,9 +213,17 @@ class IncrementalDedup:
         all_sigs = new_sigs
         old_keys = self._read_store("band_keys")
         if old_keys is not None:
+            new_urls = new_sigs.select("url")
             old_keys = self._pruned_store_keys(
                 old_keys.where(F.col("epoch") < epoch_id), new_keys
             )
+            # re-crawl guards on the PAIR-GENERATION side: (a) a url in
+            # THIS batch supersedes all its store versions — anti-join
+            # them out (the batch url set is small; broadcast); (b) of a
+            # url's remaining store versions only the latest may pair
+            # (_latest_only)
+            old_keys = old_keys.join(F.broadcast(new_urls), "url", "left_anti")
+            old_keys = self._latest_only(old_keys, epoch_id, old_keys)
             cross = candidate_pairs_two_table(new_keys, old_keys)
             pairs = pairs.unionByName(cross).distinct()
             # pairs are reused twice (touched-id semi-join + verify) and are
@@ -183,9 +232,17 @@ class IncrementalDedup:
             old_sigs = self._read_store("signatures").where(
                 F.col("epoch") < epoch_id
             )
-            all_sigs = new_sigs.unionByName(
-                self._pruned_store_sigs(old_sigs, pairs)
+            pruned_sigs = self._pruned_store_sigs(old_sigs, pairs)
+            # same two re-crawl guards on the verify payload side (a stale
+            # version reaching the verify join would fan out the url join
+            # AND score against superseded text)
+            pruned_sigs = pruned_sigs.join(
+                F.broadcast(new_urls), "url", "left_anti"
             )
+            pruned_sigs = self._latest_only(
+                pruned_sigs, epoch_id, pruned_sigs
+            ).drop("epoch")
+            all_sigs = new_sigs.unionByName(pruned_sigs)
 
         edges = verify_stage(
             pairs,
@@ -193,6 +250,7 @@ class IncrementalDedup:
             num_hashes=c["num_hashes"],
             jaccard_threshold=c["jaccard_threshold"],
             simhash_radius=c["simhash_radius"],
+            hamming_est_floor=c.get("hamming_est_floor"),
         )
         edges.write.mode("overwrite").parquet(
             os.path.join(self.store, "edges", f"epoch={epoch_id}")
@@ -231,8 +289,40 @@ class IncrementalDedup:
             writer = writer.trigger(availableNow=True)
         return writer.start()
 
-    def edges(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.store, "edges"))
+    def edges(self, current_only: bool = True) -> DataFrame:
+        """The accumulated edge set. current_only (default) applies
+        latest-epoch-wins at READ time: an edge written at epoch e scored
+        the versions of src/dst current AT e; if either url was re-crawled
+        in a LATER epoch, the edge describes superseded text and is
+        dropped (the re-crawl epoch re-paired the new version against the
+        store, so current relationships are re-derived there). Keep rule:
+        last_crawl_epoch(src) <= e AND last_crawl_epoch(dst) <= e.
+        current_only=False returns the raw append-only log (provenance /
+        replay debugging)."""
+        e = self.spark.read.parquet(os.path.join(self.store, "edges"))
+        if not current_only:
+            return e
+        latest = (
+            self.spark.read.parquet(os.path.join(self.store, "signatures"))
+            .select("url", "epoch")
+            .groupBy("url")
+            .agg(F.max("epoch").alias("_last"))
+        )
+        for side in ("src", "dst"):
+            e = e.join(
+                latest.select(
+                    F.col("url").alias(side), F.col("_last").alias(f"_last_{side}")
+                ),
+                side,
+                "left",
+            )
+        return (
+            e.where(
+                (F.coalesce(F.col("_last_src"), F.lit(-1)) <= F.col("epoch"))
+                & (F.coalesce(F.col("_last_dst"), F.lit(-1)) <= F.col("epoch"))
+            )
+            .drop("_last_src", "_last_dst")
+        )
 
 
 def windowed_event_counts(

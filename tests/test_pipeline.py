@@ -294,6 +294,49 @@ def test_table_format_dispatch(spark, tmp_path):
         DedupPipeline(spark, wd, DedupConfig())
 
 
+def _iceberg_jar_present(spark) -> bool:
+    try:
+        spark.sparkContext._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def test_iceberg_e2e_resume_conditional(spark, tmp_path):
+    """VERDICT r4 #7: full pipeline + resume on table_format='iceberg',
+    gated on the runtime jar. In a jar-less environment (this sandbox)
+    the test SKIPS — green either way. To run it for real, start the
+    session with the matching runtime pin, e.g.
+
+        spark.jars.packages=org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:1.10.0
+
+    (artifact naming: iceberg-spark-runtime-<sparkMajor.minor>_<scala>;
+    pick the line matching your Spark — 4.1.x sessions need the first
+    Iceberg release that ships a -4.1 runtime). The pipeline writes
+    through a per-workdir hadoop catalog (warehouse=workdir), V2 writer
+    createOrReplace, so first-write table creation works path-free."""
+    if not _iceberg_jar_present(spark):
+        pytest.skip("iceberg-spark-runtime jar not on the session classpath")
+    pages, _ = generate_corpus(n_base=40, seed=17)
+    df = corpus_to_spark(spark, pages).cache()
+    wd = str(tmp_path / "ice_e2e")
+    pipe = DedupPipeline(spark, wd, DedupConfig(table_format="iceberg"))
+    cl1 = pipe.run(df).toPandas().sort_values("url").reset_index(drop=True)
+    assert len(cl1) > 0
+    # snapshot commit marker present for every stage table
+    for stage in ("signatures", "edges", "clusters"):
+        assert os.path.exists(
+            os.path.join(wd, "stages", stage, "metadata", "version-hint.text")
+        ), stage
+    # resume: second run must reuse committed snapshots (no stage re-write)
+    pipe2 = DedupPipeline(spark, wd, DedupConfig(table_format="iceberg"))
+    cl2 = pipe2.run(df).toPandas().sort_values("url").reset_index(drop=True)
+    assert pipe2.stage_seconds == {}  # nothing recomputed
+    assert cl1.equals(cl2)
+
+
 def test_corpus_truth_pairs_matches_full_generation():
     """The bench recall metrics rely on corpus_truth_pairs regenerating a
     build_corpus_parquet corpus' planted pairs WITHOUT materializing

@@ -200,3 +200,77 @@ def test_precision_of_widened_estimator_band(spark, corpus):
         assert tuple(sorted((a, b))) not in est_pairs, (
             "near50 pair admitted via the estimator band"
         )
+
+
+def test_hamming_precision_tier_strict_floor(spark, corpus):
+    """VERDICT r4 #1 gate: under the STRICT knob (hamming_est_floor =
+    operators.verify.hamming_floor()), planted near-J~0.5 families must
+    false-merge at <= 0.02 while J>=0.8 recall stays >= 0.99; under the
+    DEFAULT knob (None) the same corpus documents the disclosed
+    hamming-tier leak. Every edge must carry a correct `via` tier label
+    under both settings."""
+    from name_deduplication_python_spark import DEFAULT_CONFIG as cfg
+    from name_deduplication_python_spark.operators.verify import hamming_floor
+
+    pages, truth, texts = corpus
+    theta = cfg["jaccard_threshold"]
+    want = _oracle_pairs(texts, cfg["shingle_k"], theta)
+    near50 = [tuple(sorted((a, b))) for a, b in zip(
+        truth[truth.kind == "near50"].src, truth[truth.kind == "near50"].dst
+    )]
+    assert near50
+
+    df = corpus_to_spark(spark, pages)
+    extracted = extract_stage(df).cache()
+    sigs = signature_stage(
+        extracted, num_hashes=cfg["num_hashes"], shingle_k=cfg["shingle_k"],
+        seed=cfg["seed"],
+    ).cache()
+    keys = band_keys(sigs, bands=cfg["bands"], rows_per_band=cfg["rows_per_band"])
+    pairs, _ = candidate_pairs(keys, bucket_cap=cfg["bucket_cap"])
+    pairs = pairs.localCheckpoint()  # reused under both knobs
+
+    def run(floor):
+        edges = verify_stage(
+            pairs, sigs, num_hashes=cfg["num_hashes"],
+            jaccard_threshold=theta, simhash_radius=cfg["simhash_radius"],
+            hamming_est_floor=floor,
+        )
+        rows = edges.collect()
+        clusters = components_with_singletons(
+            edges.select("src", "dst"), extracted, "url"
+        )
+        lab = {r["url"]: r["cluster_id"] for r in clusters.collect()}
+        return rows, lab
+
+    floor = hamming_floor(theta, cfg["num_hashes"])
+    sigma = (theta * (1 - theta) / cfg["num_hashes"]) ** 0.5
+    slack = 2.33 * sigma
+
+    for knob in (None, floor):
+        rows, lab = run(knob)
+        # tier labels are consistent with the score columns
+        for e in rows:
+            est_ok = e.est_jaccard >= theta - slack
+            ham_ok = e.hamming <= cfg["simhash_radius"] and (
+                knob is None or e.est_jaccard >= knob
+            )
+            expect = (
+                "both" if est_ok and ham_ok
+                else "estimator" if est_ok else "hamming"
+            )
+            assert e.via == expect, (e, expect)
+            assert est_ok or ham_ok  # no edge survives with neither tier
+        # recall gate holds under BOTH settings
+        hit = sum(1 for a, b in want if lab[a] == lab[b])
+        assert hit / len(want) >= 0.99, f"recall broke under floor={knob}"
+        merged50 = sum(1 for a, b in near50 if lab.get(a) == lab.get(b))
+        rate = merged50 / len(near50)
+        if knob is not None:
+            assert rate <= 0.02, f"strict near50 false-merge rate {rate:.3f}"
+
+    # the strict edge set is exactly the default set minus hamming-only
+    # edges below the floor (pure tightening, no new edges)
+    default_edges = {(e.src, e.dst) for e in run(None)[0]}
+    strict_edges = {(e.src, e.dst) for e in run(floor)[0]}
+    assert strict_edges <= default_edges

@@ -311,3 +311,67 @@ def test_legacy_flat_band_key_store_keeps_working(spark, tmp_path):
     # the new epoch stayed flat (no bp= subdirs)
     bk1 = os.path.join(store, "band_keys", "epoch=1")
     assert not any(n.startswith("bp=") for n in os.listdir(bk1))
+
+
+def _pages(spark, rows):
+    """rows: [(url, text)] -> web_pages DataFrame (pre-extracted text)."""
+    from name_deduplication_python_spark.schemas import WEB_PAGES
+
+    return spark.createDataFrame(
+        [(u, None, None, t, "en") for u, t in rows], schema=WEB_PAGES
+    )
+
+
+def test_recrawl_latest_epoch_wins(spark, tmp_path):
+    """VERDICT r4 #4 (re-crawl semantics): the same url crawled in two
+    epochs with CHANGED text must behave as ONE document at its latest
+    version — stale-version signatures/band-keys never pair, current-only
+    edge reads drop edges that scored superseded text, and epoch replay
+    stays exact."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(500)]
+
+    def doc(seed_off, mutate=0):
+        r = np.random.default_rng(100 + seed_off)
+        toks = list(r.choice(vocab, size=220))
+        for i in range(mutate):
+            toks[7 * i] = f"m{seed_off}_{i}"
+        return " ".join(toks)
+
+    X, Xp = doc(1), doc(1, mutate=2)   # near-identical pair
+    Y, Yp = doc(2), doc(2, mutate=2)   # unrelated to X, near-identical pair
+    store = str(tmp_path / "store")
+    inc = IncrementalDedup(spark, store)
+
+    # epoch 0: u1=X pairs with u2=X'
+    inc.process_batch(_pages(spark, [("u1", X), ("u2", Xp)]), 0)
+    e0 = {(r.src, r.dst) for r in inc.edges(current_only=False).collect()}
+    assert {tuple(sorted(p)) for p in e0} == {("u1", "u2")}
+
+    # epoch 1: u1 RE-CRAWLED with text Y; u3=Y' arrives -> (u1,u3) pairs
+    inc.process_batch(_pages(spark, [("u1", Y), ("u3", Yp)]), 1)
+
+    raw = {tuple(sorted((r.src, r.dst))) for r in inc.edges(current_only=False).collect()}
+    assert ("u1", "u2") in raw and ("u1", "u3") in raw  # append-only log keeps both
+    cur = {tuple(sorted((r.src, r.dst))) for r in inc.edges().collect()}
+    assert ("u1", "u3") in cur
+    assert ("u1", "u2") not in cur, "stale edge (u1 was re-crawled) must drop"
+
+    # epoch 2: u4 ~ X must pair with u2 (current) but NOT with u1, whose
+    # X-era band keys are stale (current u1 text is Y)
+    inc.process_batch(_pages(spark, [("u4", doc(1, mutate=3))]), 2)
+    cur2 = {tuple(sorted((r.src, r.dst))) for r in inc.edges().collect()}
+    assert ("u2", "u4") in cur2
+    assert ("u1", "u4") not in cur2, "stale-version band keys paired a re-crawled url"
+
+    # replay: re-running a committed epoch is a no-op (idempotence marker)
+    before = sorted(
+        {(r.src, r.dst, r.epoch) for r in inc.edges(current_only=False).collect()}
+    )
+    inc.process_batch(_pages(spark, [("u4", doc(1, mutate=3))]), 2)
+    after = sorted(
+        {(r.src, r.dst, r.epoch) for r in inc.edges(current_only=False).collect()}
+    )
+    assert before == after
