@@ -287,32 +287,20 @@ def shared_spans(
     )
 
 
-def dedup_spans(
+def cut_spans(
     pages: DataFrame,
+    spans: DataFrame,
     id_col: str = "url",
     text_col: str = "text",
-    gram_chars: int = 64,
-    window: int = 32,
-    min_run: int | None = None,
-    bucket_cap: int = 64,
     out_col: str | None = None,
 ) -> DataFrame:
-    """Substring (span-level) dedup: cut every cross-document shared run of
-    >= min_run chars (default gram_chars + window - 1) from all but the
-    first (minimum-id) document carrying it — keep-first, the Lee et al.
-    2022 policy. Untouched documents pass through byte-identical; touched
-    documents keep everything outside the cut spans in original order.
-
-    Guarantee (tested): a run of length >= gram + window - 1 shared by two
-    docs survives in exactly ONE of them; shorter shared runs are never
-    touched. Caveat at corpus scale: hot-fingerprint bucket capping
-    (bucket_cap, same skew guard as the LSH join) can leave a run in more
-    than one KEEPER when the pair linking two non-minimum carriers was
-    capped away — the same residual-duplicate tradeoff as capped LSH."""
+    """The cut/rebuild half of span dedup, factored out so a caller can
+    interpose on the span set (the driver query materializes spans to a
+    parquet view its DuckDB oracle independently merges + cuts in SQL).
+    spans: (dst, start, end) char spans to remove; overlapping spans per
+    doc are merged before cutting. Docs with no spans pass through
+    byte-identical via the left-join coalesce."""
     out_col = out_col or text_col
-    spans = shared_spans(
-        pages, id_col, text_col, gram_chars, window, min_run, bucket_cap
-    )
     per_doc = spans.groupBy(F.col("dst").alias(id_col)).agg(
         F.sort_array(F.collect_list(F.struct("start", "end"))).alias("spans")
     )
@@ -348,3 +336,31 @@ def dedup_spans(
         *others,
         F.coalesce("_cut", F.col(text_col)).alias(out_col),
     )
+
+
+def dedup_spans(
+    pages: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    gram_chars: int = 64,
+    window: int = 32,
+    min_run: int | None = None,
+    bucket_cap: int = 64,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Substring (span-level) dedup: cut every cross-document shared run of
+    >= min_run chars (default gram_chars + window - 1) from all but the
+    first (minimum-id) document carrying it — keep-first, the Lee et al.
+    2022 policy. Untouched documents pass through byte-identical; touched
+    documents keep everything outside the cut spans in original order.
+
+    Guarantee (tested): a run of length >= gram + window - 1 shared by two
+    docs survives in exactly ONE of them; shorter shared runs are never
+    touched. Caveat at corpus scale: hot-fingerprint bucket capping
+    (bucket_cap, same skew guard as the LSH join) can leave a run in more
+    than one KEEPER when the pair linking two non-minimum carriers was
+    capped away — the same residual-duplicate tradeoff as capped LSH."""
+    spans = shared_spans(
+        pages, id_col, text_col, gram_chars, window, min_run, bucket_cap
+    )
+    return cut_spans(pages, spans, id_col, text_col, out_col)

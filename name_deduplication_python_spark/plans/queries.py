@@ -980,6 +980,86 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {DEFAULT_CONFIG["simhash_radius"]}
 """
 
 
+# span REMOVAL (operators.substring.dedup_spans — Lee et al. 2022
+# keep-first substring dedup) as a driver-oracled query, same materialized-
+# view pattern as simhash_near_pairs: the winnowing/extension half (not
+# SQL-expressible) writes its (dst, start, end) span set to a per-sf
+# parquet view; the CUT half — interval merge + order-preserving rebuild —
+# is then verified hash-exact against an INDEPENDENT DuckDB implementation
+# (window-function interval merge + string_agg of the kept segments).
+_SPANS_VIEW_ROOT = os.environ.get(
+    "SPARK_GRAFT_SPANS_VIEW_DIR",
+    os.path.join("/tmp", f"ndps_driver_views_u{os.getuid()}", "shared_spans"),
+)
+_SPANS_ORACLE_SF = "sf0.01"
+
+
+def q_span_removed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring span-removal over the documents table: every cross-doc
+    shared run >= gram + window - 1 chars is cut from all but one carrier
+    (keep-first); untouched docs pass through byte-identical. Like
+    q_simhash_near_pairs this builder eagerly refreshes the span view
+    (atomic versioned symlink swap) so the oracle can never read stale
+    spans."""
+    from ..operators.substring import cut_spans, shared_spans
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    spans = shared_spans(docs, id_col="doc_id")
+    base = os.path.join(
+        _SPANS_VIEW_ROOT, os.path.basename(os.path.normpath(sf_dir))
+    )
+    view = _refresh_view(spans, base)
+    spans_v = spark.read.parquet(view)
+    out = cut_spans(docs, spans_v, id_col="doc_id")
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("text").alias("text_dedup"),
+    )
+
+
+SQL_SPAN_REMOVED_DOCS = f"""
+WITH spans AS (
+  SELECT CAST(dst AS BIGINT) AS doc_id, start, "end"
+  FROM read_parquet('{_SPANS_VIEW_ROOT}/{_SPANS_ORACLE_SF}/current/*.parquet')
+),
+flagged AS (
+  SELECT doc_id, start, "end",
+         max("end") OVER (PARTITION BY doc_id ORDER BY start, "end"
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM spans
+),
+grp AS (
+  SELECT doc_id, start, "end",
+         sum(CASE WHEN prev_max IS NULL OR start > prev_max THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY start, "end") AS g
+  FROM flagged
+),
+merged AS (
+  SELECT doc_id, g, min(start) AS s, max("end") AS e
+  FROM grp GROUP BY doc_id, g
+),
+pieces AS (
+  SELECT doc_id, lag(e, 1, 0) OVER (PARTITION BY doc_id ORDER BY s) AS ps,
+         s AS pe
+  FROM merged
+  UNION ALL
+  SELECT doc_id, max(e) AS ps, 2147483647 AS pe FROM merged GROUP BY doc_id
+),
+rebuilt AS (
+  SELECT p.doc_id,
+         string_agg(substring(d.text, p.ps + 1, p.pe - p.ps), ''
+                    ORDER BY p.ps) AS text_dedup
+  FROM pieces p JOIN documents d USING (doc_id)
+  GROUP BY p.doc_id
+)
+SELECT d.doc_id AS doc_id, coalesce(r.text_dedup, d.text) AS text_dedup
+FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 # --------------------------------------------------------------------------
 # 18b. simhash_hamming_pairs_sql — fully SQL-expressible simhash near-dup:
 #      a 60-bit simhash over md5 token hashes (both engines share the exact
@@ -1401,6 +1481,7 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "repetition_scores": q_repetition_scores,
     "top_ngrams": q_top_ngrams,
+    "span_removed_docs": q_span_removed_docs,
 }
 
 ORACLES = {
@@ -1442,4 +1523,9 @@ ORACLES = {
     "ann_ivf_topk": SQL_ANN_TOPK,
     "repetition_scores": SQL_REPETITION_SCORES,
     "top_ngrams": SQL_TOP_NGRAMS,
+    # round-5: span removal splits at the same view boundary as
+    # simhash_near_pairs — the non-SQL winnowing half materializes its
+    # span set; the cut/rebuild half is hash-verified against an
+    # independent DuckDB interval-merge + string_agg implementation
+    "span_removed_docs": SQL_SPAN_REMOVED_DOCS,
 }

@@ -206,3 +206,91 @@ def test_ivf_topk_probe_selectivity_and_recall(spark):
     assign = ivf_probe_lists(emb, cents, nprobe=1)
     sizes = [r.n for r in assign.groupBy("list_id").agg(F.count("*").alias("n")).collect()]
     assert max(sizes) <= 2 * per, sizes  # no list degenerated to the corpus
+
+
+def _bmp24(rows_rgb):
+    """Minimal real 24-bit uncompressed BMP (bottom-up) from a grid of
+    (r, g, b) tuples — rows_rgb[0] is the TOP row."""
+    h, w = len(rows_rgb), len(rows_rgb[0])
+    row_bytes = (w * 3 + 3) & ~3
+    px = bytearray()
+    for row in reversed(rows_rgb):  # bottom-up storage
+        line = bytearray()
+        for r, g, b in row:
+            line += bytes((b, g, r))
+        line += b"\x00" * (row_bytes - len(line))
+        px += line
+    dib = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(px).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    hdr = (
+        b"BM"
+        + (54 + len(px)).to_bytes(4, "little")
+        + b"\x00" * 4
+        + (54).to_bytes(4, "little")
+    )
+    return bytes(hdr + dib + px)
+
+
+def test_image_features_strict_decodes_real_bmp(spark):
+    """VERDICT r4 #6: strict mode must decode a REAL in-container format.
+    A 4x2 24-bit BMP with known colors goes through the DISTRIBUTED
+    image_features path; at target=(4,2) the nearest-neighbor resize is
+    the identity, so the feature vector must equal the ITU-R 601 luma of
+    the planted pixels exactly."""
+    top = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)]
+    bot = [(0, 0, 0), (128, 128, 128), (255, 255, 255), (255, 0, 0)]
+    content = _bmp24([top, bot])
+    media = spark.createDataFrame(
+        [("bmp1", "image/bmp", content, 4, 2, None)], MEDIA_SCHEMA
+    )
+    out = image_features(media, target=(4, 2), strict=True).toPandas()
+    assert len(out) == 1
+    # luma = (299r + 587g + 114b) // 1000
+    want = [76, 149, 29, 255, 0, 128, 255, 76]
+    got = [round(v * 255) for v in out.iloc[0]["feat"]]
+    assert got == want, (got, want)
+    assert out.iloc[0]["n_bytes"] == len(content)
+
+
+def test_decode_bmp_palette_and_topdown():
+    """The 8-bit palette branch and negative-height (top-down) storage
+    decode correctly (unit level; the distributed path is format-agnostic
+    past _decode_image_real)."""
+    from name_deduplication_python_spark.functions.multimodal import _decode_bmp
+
+    # 8-bit palette: 2 colors (black, pure red), 3x1 image "0,1,0"
+    pal = bytes((0, 0, 0, 0)) + bytes((0, 0, 255, 0))  # B,G,R,reserved
+    row = bytes((0, 1, 0)) + b"\x00"  # padded to 4
+    dib = (
+        (40).to_bytes(4, "little")
+        + (3).to_bytes(4, "little", signed=True)
+        + (1).to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (8).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(row).to_bytes(4, "little")
+        + b"\x00" * 8
+        + (2).to_bytes(4, "little")  # biClrUsed = 2
+        + b"\x00" * 4
+    )
+    off = 14 + 40 + len(pal)
+    bmp = (
+        b"BM" + (off + len(row)).to_bytes(4, "little") + b"\x00" * 4
+        + off.to_bytes(4, "little") + dib + pal + row
+    )
+    assert _decode_bmp(bmp).tolist() == [[0, 76, 0]]
+
+    # top-down (negative height) 24-bit: first stored row IS the top row
+    td = bytearray(_bmp24([[(255, 255, 255)], [(0, 0, 0)]]))
+    td[22:26] = (-2).to_bytes(4, "little", signed=True)
+    # _bmp24 stored bottom-up ([black] then [white]); negative height
+    # means stored order is top-down, so the image is black-on-top
+    assert _decode_bmp(bytes(td)).tolist() == [[0], [255]]
