@@ -275,6 +275,91 @@ class IncrementalDedup:
         # mode makes the replay exact)
         new_sigs.write.mode("overwrite").parquet(sig_epoch)
 
+    def _committed_epochs(self) -> list[int]:
+        """Epochs whose signature write (the idempotence marker) finished.
+        Partial files from a crash mid-epoch carry no _SUCCESS and are
+        excluded — the epoch replays on restart."""
+        root = os.path.join(self.store, "signatures")
+        out = []
+        for n in os.listdir(root):
+            if n.startswith("epoch=") and os.path.exists(
+                os.path.join(root, n, "_SUCCESS")
+            ):
+                out.append(int(n.split("=", 1)[1]))
+        return sorted(out)
+
+    def compact_store(self) -> dict:
+        """Offline store maintenance (run between epochs, stream stopped):
+        physically drop superseded version rows — for each url keep only
+        its LATEST committed signature/band-key epoch. This materializes
+        the latest-epoch-wins contract the read paths (_latest_only,
+        edges(current_only)) already enforce logically, so re-crawl-heavy
+        stores stop growing O(crawls) and revert to O(corpus).
+
+        Semantics are preserved exactly:
+          - epoch VALUES are kept (rows move nowhere; stale rows vanish),
+            so `epoch < epoch_id` replay filters, _latest_only, and
+            edges(current_only) read identically before/after;
+          - every committed epoch keeps its directory + _SUCCESS marker
+            (recreated empty when all its rows were superseded), so epoch
+            replay after a restart remains a no-op;
+          - uncommitted (crashed, markerless) epochs are left out of the
+            rewrite entirely — their replay rewrites them wholesale in
+            overwrite mode anyway.
+        The edge log is NOT touched (append-only provenance; stale edges
+        are filtered at read by edges(current_only)).
+
+        The url -> latest-epoch map is O(corpus): this is a maintenance
+        job over the whole store by construction (one shuffle per store
+        table), not a per-epoch cost. The directory-rename swap is the
+        local-FS stand-in for an Iceberg REPLACE TABLE snapshot commit; a
+        crash between the two renames is recovered by moving
+        <sub>__compact into place (the rewrite is a pure function of the
+        committed store). Returns per-store before/after rowcounts."""
+        import shutil
+
+        committed = self._committed_epochs()
+        stats: dict = {"committed_epochs": len(committed)}
+        if not committed:
+            return stats
+        sig_root = os.path.join(self.store, "signatures")
+        latest = (
+            self.spark.read.parquet(sig_root)
+            .where(F.col("epoch").isin(committed))
+            .select("url", "epoch")
+            .groupBy("url")
+            .agg(F.max("epoch").alias("epoch"))
+            # materialize BEFORE any directory swap: the lazy plan holds
+            # the pre-swap signature file list, which the band_keys pass
+            # would re-scan after signatures/ was already replaced. Two
+            # 8-byte-ish columns per url; a 10^12-doc deployment persists
+            # this to a temp table instead.
+            .localCheckpoint()
+        )
+        plans = [("signatures", ["epoch"])]
+        bk = self._read_store("band_keys")
+        if bk is not None:
+            plans.append(
+                ("band_keys", ["epoch", "bp"] if "bp" in bk.columns else ["epoch"])
+            )
+        for sub, part_cols in plans:
+            root = os.path.join(self.store, sub)
+            df = self.spark.read.parquet(root).where(F.col("epoch").isin(committed))
+            stats[f"{sub}_rows_before"] = df.count()
+            kept = df.join(latest, ["url", "epoch"], "left_semi")
+            tmp = root + "__compact"
+            kept.write.mode("overwrite").partitionBy(*part_cols).parquet(tmp)
+            old = root + "__old"
+            os.rename(root, old)
+            os.rename(tmp, root)
+            shutil.rmtree(old)
+            for e in committed:
+                d = os.path.join(root, f"epoch={e}")
+                os.makedirs(d, exist_ok=True)
+                open(os.path.join(d, "_SUCCESS"), "a").close()
+            stats[f"{sub}_rows_after"] = self.spark.read.parquet(root).count()
+        return stats
+
     def start(self, source_dir: str, checkpoint_dir: str, available_now: bool = True):
         """File-source stream of web_pages parquet -> incremental dedup."""
         stream = (

@@ -375,3 +375,70 @@ def test_recrawl_latest_epoch_wins(spark, tmp_path):
         {(r.src, r.dst, r.epoch) for r in inc.edges(current_only=False).collect()}
     )
     assert before == after
+
+
+def test_compact_store_drops_stale_versions_preserving_semantics(spark, tmp_path):
+    """compact_store physically drops superseded version rows (re-crawled
+    urls' older epochs) while preserving every read/replay contract:
+    current-only edges identical before/after, committed-epoch markers
+    survive (replay stays a no-op), and a subsequent epoch on the
+    compacted store produces exactly the edges an uncompacted control
+    store produces."""
+    import numpy as np
+
+    vocab = [f"w{i}" for i in range(500)]
+
+    def doc(seed_off, mutate=0):
+        r = np.random.default_rng(100 + seed_off)
+        toks = list(r.choice(vocab, size=220))
+        for i in range(mutate):
+            toks[7 * i] = f"m{seed_off}_{i}"
+        return " ".join(toks)
+
+    batches = [
+        (0, [("u1", doc(1)), ("u2", doc(1, mutate=2))]),     # u1 ~ u2
+        (1, [("u1", doc(2)), ("u3", doc(2, mutate=2))]),     # u1 RE-CRAWLED -> ~ u3
+    ]
+    stores = {}
+    for name in ("a", "b"):
+        inc = IncrementalDedup(spark, str(tmp_path / name))
+        for epoch, rows in batches:
+            inc.process_batch(_pages(spark, rows), epoch)
+        stores[name] = inc
+    inc, control = stores["a"], stores["b"]
+
+    before_edges = {
+        tuple(sorted((r.src, r.dst))) for r in inc.edges().collect()
+    }
+    stats = inc.compact_store()
+    # u1's epoch-0 version rows are gone: 4 sig rows -> 3
+    assert stats["signatures_rows_before"] == 4
+    assert stats["signatures_rows_after"] == 3
+    assert stats["band_keys_rows_after"] < stats["band_keys_rows_before"]
+    # markers intact for every committed epoch
+    for e in (0, 1):
+        assert os.path.exists(
+            os.path.join(inc.store, "signatures", f"epoch={e}", "_SUCCESS")
+        )
+    # read contracts unchanged
+    after_edges = {
+        tuple(sorted((r.src, r.dst))) for r in inc.edges().collect()
+    }
+    assert after_edges == before_edges
+    # replay of a committed epoch is still a no-op
+    raw_before = sorted(
+        (r.src, r.dst, r.epoch) for r in inc.edges(current_only=False).collect()
+    )
+    inc.process_batch(_pages(spark, batches[1][1]), 1)
+    raw_after = sorted(
+        (r.src, r.dst, r.epoch) for r in inc.edges(current_only=False).collect()
+    )
+    assert raw_before == raw_after
+    # a new epoch behaves identically on compacted vs uncompacted stores
+    new_batch = [("u4", doc(2, mutate=3))]  # ~ current u1 text and u3
+    inc.process_batch(_pages(spark, new_batch), 2)
+    control.process_batch(_pages(spark, new_batch), 2)
+    got = {tuple(sorted((r.src, r.dst))) for r in inc.edges().collect()}
+    want = {tuple(sorted((r.src, r.dst))) for r in control.edges().collect()}
+    assert got == want
+    assert ("u1", "u4") in got and ("u3", "u4") in got
