@@ -82,3 +82,59 @@ def quality_score(c, n_chars=None) -> Column:
 def doc_fingerprint(c) -> Column:
     """64-bit deterministic fingerprint of whitespace-normalized text."""
     return F.xxhash64(F.regexp_replace(F.trim(c), r"\s+", " "))
+
+
+def gopher_flags(c) -> dict[str, Column]:
+    """Gopher-style document-quality filter signals (Rae et al. 2021,
+    Appendix A — the closed, SQL-mirrorable subset): word count band,
+    mean word length band, fraction of words containing a letter,
+    bullet-/ellipsis-line fractions, and a distinct-stopword floor.
+    Returns named Columns (all native — one codegen stage, no shuffle);
+    `passes_gopher` is the conjunction at the published thresholds
+    (50 <= words <= 100k, 3 <= mean len <= 10, alpha words >= 0.8,
+    bullet lines <= 0.9, ellipsis lines <= 0.3, >= 2 distinct
+    stopwords). Tokenization is the single-space split the other
+    text-stats oracles use, so DuckDB mirrors every rule exactly
+    (plans/queries.q_gopher_quality_flags)."""
+    toks = F.split(F.trim(c), " ")
+    n_words = F.size(toks)
+    mean_wl = F.round(
+        F.aggregate(toks, F.lit(0.0), lambda a, t: a + F.length(t)) / n_words, 4
+    )
+    frac_alpha = F.round(
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))) / n_words, 4
+    )
+    lines = F.split(c, "\n")
+    n_lines = F.size(lines)
+    frac_bullet = F.round(
+        F.size(F.filter(lines, lambda l: l.rlike("^ *[-*]"))) / n_lines, 4
+    )
+    frac_ellipsis = F.round(
+        F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.$"))) / n_lines, 4
+    )
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), stop_arr))
+    passes = (
+        n_words.between(50, 100000)
+        & mean_wl.between(3, 10)
+        & (frac_alpha >= 0.8)
+        & (frac_bullet <= 0.9)
+        & (frac_ellipsis <= 0.3)
+        & (n_stop >= 2)
+    )
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_wl,
+        "frac_alpha_words": frac_alpha,
+        "frac_bullet_lines": frac_bullet,
+        "frac_ellipsis_lines": frac_ellipsis,
+        "n_stop_distinct": n_stop,
+        "passes_gopher": passes.cast("int"),
+    }
+
+
+def filter_documents(df, text_col: str = "text"):
+    """Keep only documents passing the Gopher quality conjunction — the
+    pipeline-facing form of gopher_flags (pure filter, pushes down past
+    column pruning; no shuffle)."""
+    return df.where(gopher_flags(F.col(text_col))["passes_gopher"] == 1)

@@ -1450,6 +1450,58 @@ HAVING count(*) >= {_NG_MIN_COUNT}
 """
 
 
+# --------------------------------------------------------------------------
+# Gopher-style composite quality filter (Rae et al. 2021 Appendix A,
+# closed SQL-mirrorable subset) — the flags + pass/fail conjunction per
+# document; functions.text_stats.gopher_flags holds the single rule
+# definition, functions.text_stats.filter_documents is the pipeline form.
+# --------------------------------------------------------------------------
+
+
+def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text_stats import gopher_flags
+
+    cols = gopher_flags(F.col("text"))
+    return _docs(spark, sf_dir).select(
+        "doc_id", *[c.alias(name) for name, c in cols.items()]
+    )
+
+
+_STOP_LIST_SQL = "['" + "','".join(_STOPWORDS) + "']"
+
+SQL_GOPHER_QUALITY_FLAGS = f"""
+WITH t AS (
+  SELECT doc_id,
+         string_split(trim(text), ' ') AS toks,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         round(list_aggregate(list_transform(toks, x -> length(x)), 'avg'), 4)
+           AS mean_word_len,
+         round(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+               / len(toks), 4) AS frac_alpha_words,
+         round(len(list_filter(lines, l -> regexp_matches(l, '^ *[-*]')))
+               / len(lines), 4) AS frac_bullet_lines,
+         round(len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.$')))
+               / len(lines), 4) AS frac_ellipsis_lines,
+         len(list_intersect(list_distinct(toks), {_STOP_LIST_SQL}))
+           AS n_stop_distinct
+  FROM t
+)
+SELECT doc_id, n_words, mean_word_len, frac_alpha_words, frac_bullet_lines,
+       frac_ellipsis_lines, n_stop_distinct,
+       (n_words BETWEEN 50 AND 100000
+        AND mean_word_len BETWEEN 3 AND 10
+        AND frac_alpha_words >= 0.8
+        AND frac_bullet_lines <= 0.9
+        AND frac_ellipsis_lines <= 0.3
+        AND n_stop_distinct >= 2)::INT AS passes_gopher
+FROM s
+"""
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "token_jaccard_pairs": q_token_jaccard_pairs,
@@ -1482,6 +1534,7 @@ QUERIES = {
     "repetition_scores": q_repetition_scores,
     "top_ngrams": q_top_ngrams,
     "span_removed_docs": q_span_removed_docs,
+    "gopher_quality_flags": q_gopher_quality_flags,
 }
 
 ORACLES = {
@@ -1528,4 +1581,5 @@ ORACLES = {
     # span set; the cut/rebuild half is hash-verified against an
     # independent DuckDB interval-merge + string_agg implementation
     "span_removed_docs": SQL_SPAN_REMOVED_DOCS,
+    "gopher_quality_flags": SQL_GOPHER_QUALITY_FLAGS,
 }

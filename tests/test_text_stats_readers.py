@@ -298,3 +298,30 @@ def test_text_stats_exprs(spark):
     # determinism
     out2 = df.select(doc_fingerprint("text").alias("fp")).collect()
     assert [r["fp"] for r in out2] == [r["fp"] for r in out]
+
+
+def test_gopher_filter_documents(spark):
+    """filter_documents keeps a normal English doc and drops the Gopher
+    failure modes: too-short, no-stopword token soup, bullet walls."""
+    import pandas as pd
+
+    from name_deduplication_python_spark.functions.text_stats import (
+        filter_documents,
+    )
+
+    good = ("the quick brown fox jumps over the lazy dog and runs to "
+            "a river of calm water in the morning light ") * 3
+    rows = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                good,
+                "too short to pass",
+                "zx qw er ty ui op as df gh jk " * 10,   # no stopwords
+                "\n".join(["- bullet item here we go again"] * 60),
+            ],
+        }
+    )
+    df = spark.createDataFrame(rows)
+    kept = [r.doc_id for r in filter_documents(df).collect()]
+    assert kept == [1]
