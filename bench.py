@@ -61,6 +61,9 @@ HEADLINE_QUERIES = [
     "revenue_by_flag",
     "top_customers",
     "events_windowed",
+    # round-5 ops: substring span removal + gopher quality filter
+    "span_removed_docs",
+    "gopher_quality_flags",
 ]
 
 
