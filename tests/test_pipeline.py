@@ -365,3 +365,24 @@ def test_corpus_truth_pairs_matches_full_generation():
         processes=2,
     )
     assert got.equals(want)
+
+
+def test_round5_knobs_are_fingerprinted(spark, tmp_path):
+    """The precision-tier floor and the CC crossover knobs are part of the
+    config fingerprint — a retune (the VERDICT r4 #5 real-cluster
+    scenario) can never silently reuse checkpoints computed under the old
+    values."""
+    import pytest as _pytest
+
+    pages, _ = generate_corpus(n_base=20, seed=5)
+    df = corpus_to_spark(spark, pages)
+    wd = str(tmp_path / "fp")
+    DedupPipeline(spark, wd, DedupConfig()).run(df)
+    for cfg in (
+        DedupConfig(hamming_est_floor=0.635),
+        DedupConfig(cc_small_graph_threshold=1_000),
+        DedupConfig(cc_string_hash_threshold=1_000),
+        DedupConfig(cc_broadcast_edge_threshold=1_000),
+    ):
+        with _pytest.raises(ValueError, match="different DedupConfig"):
+            DedupPipeline(spark, wd, cfg)
