@@ -325,3 +325,23 @@ def test_gopher_filter_documents(spark):
     df = spark.createDataFrame(rows)
     kept = [r.doc_id for r in filter_documents(df).collect()]
     assert kept == [1]
+
+
+def test_gopher_flags_plan_is_python_free(spark):
+    """The quality filter must stay inside whole-stage codegen — no
+    Python evaluation node anywhere in the plan (it runs over every
+    document of the corpus)."""
+    import pandas as pd
+
+    from name_deduplication_python_spark.functions.text_stats import (
+        filter_documents,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["the of and words here"]})
+    )
+    plan = (
+        filter_documents(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in plan, plan
