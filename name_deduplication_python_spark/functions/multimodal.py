@@ -4,9 +4,10 @@ frame-sample operators.
 
 The Spark-side contract (schemas, partitioning, UDF signatures, batch
 shapes) is real and tested. Codecs: uncompressed BMP (8-bit palette /
-24-bit) decodes for REAL in strict mode via a stdlib+numpy parser —
-tested through the distributed path on known pixels; other image formats
-and all audio/video remain STUBBED (libraries not in this container) as
+24-bit) and RIFF PCM WAV (8/16/32-bit) decode for REAL in strict mode
+via stdlib+numpy parsers — tested through the distributed path on known
+pixels/samples; other image/audio formats and video remain STUBBED
+(libraries not in this container) as
 either a clearly-marked NotImplementedError (strict mode) or a
 deterministic fake decoder (test mode) so the distributed plumbing is
 exercised end-to-end regardless. Swap `_decode_image_real` /
@@ -40,6 +41,11 @@ IMAGE_FEATURES_DDL = (
 )
 
 FRAME_SAMPLE_DDL = "media_id string, frame_idx int, frame_sha256 string"
+
+AUDIO_FEATURES_DDL = (
+    "media_id string, sample_rate int, n_samples bigint, rms double, "
+    "zcr double, envelope array<float>"
+)
 
 
 def _decode_bmp(content: bytes) -> np.ndarray:
@@ -146,6 +152,108 @@ def image_features(
                 )
 
     return media.mapInPandas(gen, schema=IMAGE_FEATURES_DDL)
+
+
+def _decode_wav(content: bytes) -> tuple[np.ndarray, int]:
+    """Pure-stdlib decoder for RIFF/WAVE PCM (8/16/32-bit int) — the audio
+    analog of the BMP path: one REAL in-container codec so strict mode is
+    exercisable end-to-end. Returns (mono float32 samples in [-1, 1],
+    sample_rate). Multi-channel input is averaged to mono. Compressed WAV
+    variants (non-PCM format tags) raise NotImplementedError."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(content), "rb") as w:
+            sr = w.getframerate()
+            n_ch = w.getnchannels()
+            width = w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+    except wave.Error as e:
+        raise NotImplementedError(f"WAV variant not supported: {e}") from e
+    if width == 1:  # 8-bit PCM is unsigned
+        x = np.frombuffer(raw, np.uint8).astype(np.float32)
+        x = (x - 128.0) / 128.0
+    elif width == 2:
+        x = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+    elif width == 4:
+        x = np.frombuffer(raw, "<i4").astype(np.float32) / 2147483648.0
+    else:
+        raise NotImplementedError(f"PCM width {width} not supported")
+    if n_ch > 1:
+        x = x[: len(x) - len(x) % n_ch].reshape(-1, n_ch).mean(axis=1)
+    return x, sr
+
+
+def _decode_audio_real(content: bytes) -> tuple[np.ndarray, int]:
+    """Real audio decoder slot: RIFF/WAVE PCM decodes natively (stdlib
+    wave + numpy, above); other formats need soundfile/ffmpeg on a real
+    cluster — the plumbing is codec-agnostic, only this dispatch grows."""
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        return _decode_wav(content)
+    raise NotImplementedError(
+        "only PCM WAV decodes in-container; install soundfile/ffmpeg and "
+        "extend _decode_audio_real for other formats"
+    )
+
+
+def _decode_audio_fake(content: bytes, n: int = 4096) -> tuple[np.ndarray, int]:
+    """Deterministic fake decode: sha256-stream pseudo-samples in [-1, 1]
+    (same bytes -> same 'audio' on any worker), nominal 16 kHz."""
+    need, out, pos, ctr = n, np.empty(n, np.float32), 0, 0
+    while pos < need:
+        block = hashlib.sha256(content + ctr.to_bytes(4, "big")).digest()
+        take = min(len(block), need - pos)
+        out[pos : pos + take] = (
+            np.frombuffer(block[:take], np.uint8).astype(np.float32) - 128.0
+        ) / 128.0
+        pos += take
+        ctr += 1
+    return out, 16000
+
+
+def audio_features(
+    media: DataFrame, n_envelope: int = 16, strict: bool = False
+) -> DataFrame:
+    """decode PCM -> summary features: RMS level, zero-crossing rate, and
+    an n_envelope-bin RMS energy envelope (the fixed-size feature vector a
+    downstream similarity/dedup join consumes — the audio analog of
+    image_features' resized grayscale). mapInPandas; one Arrow batch of
+    binaries in, one batch of feature rows out."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                if strict:
+                    x, sr = _decode_audio_real(bytes(content))
+                else:
+                    x, sr = _decode_audio_fake(bytes(content))
+                n = len(x)
+                if n == 0:
+                    rows.append((mid, sr, 0, 0.0, 0.0, [0.0] * n_envelope))
+                    continue
+                rms = float(np.sqrt(np.mean(x * x)))
+                zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                # n_envelope equal slices; ragged tail folds into the last
+                edges = (np.arange(n_envelope + 1) * n) // n_envelope
+                env = [
+                    float(np.sqrt(np.mean(seg * seg))) if len(seg) else 0.0
+                    for seg in (x[edges[i] : edges[i + 1]] for i in range(n_envelope))
+                ]
+                rows.append((mid, sr, n, rms, zcr, env))
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "media_id", "sample_rate", "n_samples", "rms", "zcr",
+                        "envelope",
+                    ],
+                )
+
+    return media.mapInPandas(gen, schema=AUDIO_FEATURES_DDL)
 
 
 def frame_sample(

@@ -294,3 +294,63 @@ def test_decode_bmp_palette_and_topdown():
     # _bmp24 stored bottom-up ([black] then [white]); negative height
     # means stored order is top-down, so the image is black-on-top
     assert _decode_bmp(bytes(td)).tolist() == [[0], [255]]
+
+
+def test_audio_features_strict_decodes_real_wav(spark):
+    """Strict mode decodes a REAL stdlib-written PCM WAV through the
+    distributed path: a 440 Hz sine at amplitude 0.5 must show
+    rms ~ 0.5/sqrt(2) and zcr ~ 2*f/sr; a flat-amplitude signal has a
+    flat energy envelope."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from name_deduplication_python_spark.functions.multimodal import (
+        audio_features,
+    )
+
+    sr, f, amp, dur = 8000, 440.0, 0.5, 1.0
+    t = np.arange(int(sr * dur)) / sr
+    x = (amp * np.sin(2 * np.pi * f * t) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(x.tobytes())
+    media = spark.createDataFrame(
+        [("wav1", "audio/wav", buf.getvalue(), None, None, 1000)], MEDIA_SCHEMA
+    )
+    out = audio_features(media, strict=True).toPandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["sample_rate"] == sr and r["n_samples"] == sr
+    assert abs(r["rms"] - amp / np.sqrt(2)) < 0.01
+    assert abs(r["zcr"] - 2 * f / sr) < 0.01
+    env = np.array(r["envelope"])
+    assert len(env) == 16
+    assert env.std() / env.mean() < 0.05  # constant-amplitude -> flat
+
+
+def test_audio_features_fake_mode_and_strict_rejection(spark):
+    """Fake mode is deterministic per byte-content; strict mode rejects
+    non-WAV bytes with a clear NotImplementedError."""
+    import pytest as _pytest
+
+    from name_deduplication_python_spark.functions.multimodal import (
+        audio_features,
+    )
+
+    media = spark.createDataFrame(
+        [
+            ("a1", "audio/mp3", b"\x10\x20" * 300, None, None, 2000),
+            ("a2", "audio/mp3", b"\x10\x20" * 300, None, None, 2000),
+        ],
+        MEDIA_SCHEMA,
+    )
+    out = audio_features(media).toPandas().set_index("media_id")
+    assert list(out.loc["a1", "envelope"]) == list(out.loc["a2", "envelope"])
+    assert out.loc["a1", "sample_rate"] == 16000
+    with _pytest.raises(Exception, match="only PCM WAV decodes"):
+        audio_features(media, strict=True).toPandas()
