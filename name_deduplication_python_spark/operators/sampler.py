@@ -1,0 +1,95 @@
+"""Deterministic token-budget corpus sampling — take documents per
+stratum (e.g. language) in a fixed pseudo-random priority order until a
+token budget is filled.
+
+Beyond-reference LLM-pipeline operator: data-mixture construction
+(C4/Pile/LLaMA-style "N tokens of language X") needs a sampler that is
+(a) deterministic across runs and cluster sizes, (b) uniform (no bias
+toward file order), and (c) free of any per-stratum global sort. The
+priority key is md5(doc_id) — reproducible everywhere, including the
+DuckDB oracle.
+
+Scale shape (the 100 TB plan): a naive
+  sum(tokens) OVER (PARTITION BY lang ORDER BY key)
+funnels each language through ONE reducer — a single task would sort
+tens of TB for a web-scale English stratum. Instead the cumulative sum
+is computed in two passes over uniform hash-range buckets (the md5
+key's leading hex byte):
+
+  pass 1: per (stratum, bucket) token partials — one map-combined
+          groupBy producing exactly 256 x |strata| rows regardless of
+          data size; bucket offsets come from a window over that tiny
+          table (size-independent).
+  pass 2: per (stratum, bucket) intra-bucket running sum — the window
+          partitions by (stratum, bucket), so the sort is 1/256th of a
+          stratum per task; global cum = broadcast offset + intra.
+
+Because md5 is uniform, bucket skew is ~1/256 of a stratum with tight
+concentration. The result equals the single-window cumulative sum
+exactly (bucket ranges are contiguous in key order) — the oracle states
+it as the naive window and hashes match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budget_tokens: int,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Documents whose running token total (in md5(id) priority order
+    within each stratum) stays within `budget_tokens`.
+
+    Returns (id_col, strata_col, n_tokens, cum_tokens) for the selected
+    documents. A document that would cross the budget is excluded (the
+    budget is a hard cap, not a nearest-target)."""
+    toks = F.size(F.split(F.trim(F.col(text_col)), " "))
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(strata_col).alias("stratum"),
+        toks.cast("int").alias("n_tokens"),
+        F.md5(F.col(id_col).cast("string")).alias("k"),
+    ).withColumn("bucket", F.substring("k", 1, 2))
+
+    # pass 1: 256 x |strata| partial sums; offsets via a window over the
+    # tiny partials table (row count independent of corpus size).
+    partials = base.groupBy("stratum", "bucket").agg(
+        F.sum("n_tokens").alias("bucket_tokens")
+    )
+    w_off = (
+        Window.partitionBy("stratum")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = partials.select(
+        "stratum",
+        "bucket",
+        F.coalesce(F.sum("bucket_tokens").over(w_off), F.lit(0)).alias("offset"),
+    )
+
+    # pass 2: intra-bucket running sum; cum = offset + intra.
+    w_in = (
+        Window.partitionBy("stratum", "bucket")
+        .orderBy("k", "id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        base.join(F.broadcast(offsets), ["stratum", "bucket"])
+        .withColumn(
+            "cum_tokens",
+            (F.col("offset") + F.sum("n_tokens").over(w_in)).cast("long"),
+        )
+        .where(F.col("cum_tokens") <= budget_tokens)
+    )
+    return cum.select(
+        F.col("id").alias(id_col),
+        F.col("stratum").alias(strata_col),
+        "n_tokens",
+        "cum_tokens",
+    )

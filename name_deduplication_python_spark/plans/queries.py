@@ -23,6 +23,7 @@ from ..operators.lsh import band_keys, candidate_pairs
 from ..operators.signatures import signature_stage
 from ..operators.setsim import set_similarity_join
 from ..operators.simhash import simhash_hamming_pairs
+from ..functions.pii import PII_PATTERNS as _PII_PATTERNS_REF
 
 # Spark tokenization: split on single spaces after trim (testdata texts are
 # single-spaced); the oracle uses the same contract.
@@ -1502,6 +1503,144 @@ FROM s
 """
 
 
+# --------------------------------------------------------------------------
+# Eval-set decontamination (Brown et al. 2020 Appendix C, 13-gram rule)
+# over a deterministic in-table eval split (doc_id % 23 == 0) — see
+# operators/decontaminate.py for the broadcast scale shape.
+# --------------------------------------------------------------------------
+
+_DECON_N = 13
+_DECON_EVAL_MOD = 23
+
+
+def q_decontaminated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.decontaminate import flag_contaminated
+
+    docs = _docs(spark, sf_dir)
+    ev = docs.where(F.col("doc_id") % _DECON_EVAL_MOD == 0)
+    tr = docs.where(F.col("doc_id") % _DECON_EVAL_MOD != 0)
+    return flag_contaminated(tr, ev, n=_DECON_N)
+
+
+SQL_DECONTAMINATED_DOCS = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) < {_DECON_N} THEN []::VARCHAR[]
+              ELSE list_distinct([array_to_string(toks[i:i+{_DECON_N - 1}], ' ')
+                                  FOR i IN range(1, len(toks) - {_DECON_N} + 2)])
+         END AS grams
+  FROM tok
+), ev AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM g
+  WHERE doc_id % {_DECON_EVAL_MOD} = 0
+), tr AS (
+  SELECT doc_id, grams FROM g WHERE doc_id % {_DECON_EVAL_MOD} <> 0
+), ov AS (
+  SELECT trg.doc_id, count(*) AS n_overlap
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM tr) trg
+  JOIN ev USING (gram)
+  GROUP BY trg.doc_id
+)
+SELECT t.doc_id,
+       len(t.grams)::INT AS n_grams,
+       coalesce(ov.n_overlap, 0)::INT AS n_overlap,
+       (coalesce(ov.n_overlap, 0) > 0)::INT AS is_contaminated
+FROM tr t LEFT JOIN ov ON t.doc_id = ov.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# PII redaction (C4/RefinedWeb-style regex scrub; functions/pii.py).
+# The synthetic corpus contains no organic PII, so the query PLANTS a
+# deterministic email + phone + IPv4 per doc from doc_id before
+# redacting — the oracle performs the identical plant + RE2 scrub, so
+# the hash compare verifies actual replacements, not a no-op.
+# --------------------------------------------------------------------------
+
+_PII_EMAIL_RE, _PII_PHONE_RE, _PII_IP_RE = (p[1] for p in _PII_PATTERNS_REF)
+
+
+def q_pii_redacted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.pii import redact_documents
+
+    planted = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            "",
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com via 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0.1 tel 555-010-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return redact_documents(planted).select(
+        "doc_id",
+        F.col("text").alias("redacted"),
+        "n_emails",
+        "n_phones",
+        "n_ipv4s",
+    )
+
+
+SQL_PII_REDACTED_DOCS = f"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id::VARCHAR || '@example.com via 10.'
+              || (doc_id % 256)::VARCHAR || '.0.1 tel 555-010-'
+              || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS text
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+         '{_PII_EMAIL_RE}', '[EMAIL]', 'g'),
+         '{_PII_PHONE_RE}', '[PHONE]', 'g'),
+         '{_PII_IP_RE}', '[IP]', 'g') AS redacted,
+       len(regexp_extract_all(text, '{_PII_EMAIL_RE}'))::INT AS n_emails,
+       len(regexp_extract_all(text, '{_PII_PHONE_RE}'))::INT AS n_phones,
+       len(regexp_extract_all(text, '{_PII_IP_RE}'))::INT AS n_ipv4s
+FROM planted
+"""
+
+
+# --------------------------------------------------------------------------
+# Deterministic token-budget corpus sampler (data-mixture construction;
+# operators/sampler.py holds the two-pass bucketed cumulative sum that
+# avoids one-reducer-per-stratum sorts at 100 TB). The oracle states the
+# semantics as the naive per-stratum window — the two-pass result is
+# exactly equal.
+# --------------------------------------------------------------------------
+
+_SAMPLE_BUDGET = 10_000
+
+
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampler import token_budget_sample
+
+    return token_budget_sample(_docs(spark, sf_dir), _SAMPLE_BUDGET)
+
+
+SQL_TOKEN_BUDGET_SAMPLE = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         len(string_split(trim(text), ' '))::INT AS n_tokens,
+         md5(doc_id::VARCHAR) AS k
+  FROM documents
+), c AS (
+  SELECT doc_id, lang, n_tokens,
+         (sum(n_tokens) OVER (
+            PARTITION BY lang ORDER BY k, doc_id))::BIGINT AS cum_tokens
+  FROM t
+)
+SELECT doc_id, lang, n_tokens, cum_tokens FROM c
+WHERE cum_tokens <= {_SAMPLE_BUDGET}
+"""
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "token_jaccard_pairs": q_token_jaccard_pairs,
@@ -1535,6 +1674,9 @@ QUERIES = {
     "top_ngrams": q_top_ngrams,
     "span_removed_docs": q_span_removed_docs,
     "gopher_quality_flags": q_gopher_quality_flags,
+    "decontaminated_docs": q_decontaminated_docs,
+    "pii_redacted_docs": q_pii_redacted_docs,
+    "token_budget_sample": q_token_budget_sample,
 }
 
 ORACLES = {
@@ -1582,4 +1724,11 @@ ORACLES = {
     # independent DuckDB interval-merge + string_agg implementation
     "span_removed_docs": SQL_SPAN_REMOVED_DOCS,
     "gopher_quality_flags": SQL_GOPHER_QUALITY_FLAGS,
+    # round-5b: decontamination counts distinct xxhash64 gram hashes on
+    # the Spark side vs distinct gram strings in the oracle — equal
+    # unless a 64-bit collision lands inside one document's gram set
+    # (~n_grams^2/2^65 per doc; zero at any test scale).
+    "decontaminated_docs": SQL_DECONTAMINATED_DOCS,
+    "pii_redacted_docs": SQL_PII_REDACTED_DOCS,
+    "token_budget_sample": SQL_TOKEN_BUDGET_SAMPLE,
 }

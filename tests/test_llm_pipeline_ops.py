@@ -1,0 +1,186 @@
+"""Round-5b LLM-pipeline operators: eval-set decontamination, PII
+redaction, token-budget sampling — semantics plus plan-shape checks."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from name_deduplication_python_spark.functions.pii import (
+    redact_documents,
+    redact_pii,
+)
+from name_deduplication_python_spark.operators.decontaminate import (
+    flag_contaminated,
+)
+from name_deduplication_python_spark.operators.sampler import (
+    token_budget_sample,
+)
+
+_PY_MARKERS = ("BatchEvalPython", "ArrowEvalPython", "PythonUDF")
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ----------------------------------------------------------------- decontam
+
+
+@pytest.fixture(scope="module")
+def decon_frames(spark):
+    ev = spark.createDataFrame(
+        [(100, "a b c d e f g h i j k l m n o p q r s t")],
+        ["doc_id", "text"],
+    )
+    train = spark.createDataFrame(
+        [
+            # shares the 13-gram "a b c ... m" with the eval doc
+            (1, "x1 x2 a b c d e f g h i j k l m y1 y2"),
+            # disjoint vocabulary -> clean
+            (2, " ".join(f"z{i}" for i in range(20))),
+            # under 13 tokens -> no gram, cannot be contaminated
+            (3, "short doc only five tokens"),
+        ],
+        ["doc_id", "text"],
+    )
+    return train, ev
+
+
+def test_flag_contaminated_planted(spark, decon_frames):
+    train, ev = decon_frames
+    rows = {r.doc_id: r for r in flag_contaminated(train, ev, n=13).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1].is_contaminated == 1 and rows[1].n_overlap == 1
+    assert rows[2].is_contaminated == 0 and rows[2].n_overlap == 0
+    assert rows[3].is_contaminated == 0 and rows[3].n_grams == 0
+
+
+def test_flag_contaminated_overlap_counts_distinct_grams(spark):
+    # train doc containing TWO distinct eval 13-grams counts 2
+    ev = spark.createDataFrame(
+        [(0, " ".join(f"a{i}" for i in range(13))),
+         (1, " ".join(f"b{i}" for i in range(13)))],
+        ["doc_id", "text"],
+    )
+    tr = spark.createDataFrame(
+        [(7, " ".join(f"a{i}" for i in range(13))
+          + " GAP " + " ".join(f"b{i}" for i in range(13)))],
+        ["doc_id", "text"],
+    )
+    row = flag_contaminated(tr, ev, n=13).collect()[0]
+    assert row.n_overlap == 2 and row.is_contaminated == 1
+
+
+def test_flag_contaminated_plan_broadcasts_eval_side(spark, decon_frames):
+    train, ev = decon_frames
+    plan = _plan(flag_contaminated(train, ev, n=13))
+    assert "BroadcastHashJoin" in plan
+    for m in _PY_MARKERS:
+        assert m not in plan
+
+
+# ---------------------------------------------------------------------- pii
+
+
+def test_redact_pii_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a.b@x.io or 123-456-7890 from 192.168.0.1 end")],
+        ["doc_id", "text"],
+    )
+    out = redact_documents(df).collect()[0]
+    assert out.text == "mail [EMAIL] or [PHONE] from [IP] end"
+    assert (out.n_emails, out.n_phones, out.n_ipv4s) == (1, 1, 1)
+
+
+def test_redact_pii_idempotent(spark):
+    df = spark.createDataFrame(
+        [(1, "x user@site.org y 555-010-0042 z 10.0.0.1")], ["doc_id", "text"]
+    )
+    once = df.select(redact_pii(F.col("text")).alias("t"))
+    twice = once.select(redact_pii(F.col("t")).alias("t"))
+    assert once.collect()[0].t == twice.collect()[0].t
+
+
+def test_redact_pii_leaves_clean_text_alone(spark):
+    s = "version 1.2 shipped on 2024-01-02 at 5pm no pii here"
+    df = spark.createDataFrame([(1, s)], ["doc_id", "text"])
+    out = redact_documents(df).collect()[0]
+    assert out.text == s
+    assert (out.n_emails, out.n_phones, out.n_ipv4s) == (0, 0, 0)
+
+
+def test_redact_pii_plan_is_python_free(spark):
+    df = spark.createDataFrame([(1, "a@b.co")], ["doc_id", "text"])
+    plan = _plan(redact_documents(df))
+    for m in _PY_MARKERS:
+        assert m not in plan
+
+
+# ------------------------------------------------------------------ sampler
+
+
+def _naive_sample(pdf: pd.DataFrame, budget: int) -> set[int]:
+    pdf = pdf.copy()
+    pdf["k"] = pdf.doc_id.map(lambda i: hashlib.md5(str(i).encode()).hexdigest())
+    keep: set[int] = set()
+    for _, grp in pdf.groupby("lang"):
+        grp = grp.sort_values(["k", "doc_id"])
+        cum = grp.n_tokens.cumsum()
+        keep |= set(grp.doc_id[cum <= budget])
+    return keep
+
+
+@pytest.fixture(scope="module")
+def sample_docs(spark):
+    import random
+
+    rng = random.Random(42)
+    rows = [
+        (i, "en de fr".split()[i % 3], "tok " * rng.randint(5, 60))
+        for i in range(240)
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "lang", "text"])
+    pdf["n_tokens"] = pdf.text.str.strip().str.split(" ").map(len)
+    return spark.createDataFrame(pdf[["doc_id", "lang", "text"]]), pdf
+
+
+def test_token_budget_matches_naive_window(spark, sample_docs):
+    df, pdf = sample_docs
+    budget = 1500
+    got = token_budget_sample(df, budget)
+    rows = got.collect()
+    assert {r.doc_id for r in rows} == _naive_sample(pdf, budget)
+    # cum_tokens is the true global running sum, not a per-bucket one
+    by_id = {int(r.doc_id): r for r in rows}
+    for lang in ("en", "de", "fr"):
+        sel = sorted(
+            (r for r in rows if r.lang == lang), key=lambda r: r.cum_tokens
+        )
+        running = 0
+        for r in sel:
+            running += r.n_tokens
+            assert r.cum_tokens == running <= budget
+
+
+def test_token_budget_hard_cap_excludes_crossing_doc(spark):
+    # one stratum, known order: budget lands mid-document -> that doc is out
+    df = spark.createDataFrame(
+        [(i, "en", "t " * 10) for i in range(20)], ["doc_id", "lang", "text"]
+    )
+    out = token_budget_sample(df, 35).collect()
+    assert len(out) == 3  # 3 docs x 10 tokens = 30 <= 35 < 40
+    assert max(r.cum_tokens for r in out) == 30
+
+
+def test_token_budget_plan_partitions_by_bucket(spark, sample_docs):
+    df, _ = sample_docs
+    plan = _plan(token_budget_sample(df, 1000))
+    # the big window must partition by (stratum, bucket) — never a
+    # whole-stratum (or global) sort
+    assert "bucket" in plan
+    for m in _PY_MARKERS:
+        assert m not in plan
