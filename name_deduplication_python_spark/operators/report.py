@@ -159,3 +159,38 @@ def top_k_by(df: DataFrame, col: str, k: int = 5) -> DataFrame:
         .orderBy(F.desc("n"), F.asc(col))
         .limit(k)
     )
+
+
+def best_member_per_cluster(
+    members: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Quality-aware representative selection: per cluster keep the
+    member with the highest score, ties broken by smallest id — the
+    training-data policy ("keep the best copy, drop the rest") that
+    replaces the pipeline's default min-url representative when a
+    quality signal exists.
+
+    One map-combined aggregate (max over a (score, -id) struct — the
+    lexicographic max IS argmax-with-min-id-tiebreak), no window, no
+    per-cluster sort: at 10^12 docs this is a single combine-heavy
+    shuffle keyed by cluster_id, the same key the CC output already
+    carries. Returns (cluster_col, rep_<id_col>, rep_<score_col>,
+    n_members)."""
+    m = F.max(
+        F.struct(
+            F.col(score_col).alias("s"), (-F.col(id_col)).alias("neg_id")
+        )
+    ).alias("m")
+    return (
+        members.groupBy(cluster_col)
+        .agg(m, F.count("*").alias("n_members"))
+        .select(
+            cluster_col,
+            (-F.col("m.neg_id")).alias(f"rep_{id_col}"),
+            F.col("m.s").alias(f"rep_{score_col}"),
+            "n_members",
+        )
+    )

@@ -1641,6 +1641,41 @@ WHERE cum_tokens <= {_SAMPLE_BUDGET}
 """
 
 
+# --------------------------------------------------------------------------
+# Quality-aware cluster representatives — keep the best-scoring member
+# of each near-dup cluster (argmax alpha_ratio, min doc_id tiebreak):
+# the "keep the best copy" survivor policy. Composes cc_clusters with
+# quality_scores; operators/report.py:best_member_per_cluster holds the
+# single-aggregate (no window) scale shape.
+# --------------------------------------------------------------------------
+
+
+def q_cluster_best_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.report import best_member_per_cluster
+
+    comp = q_cc_clusters(spark, sf_dir)
+    q = q_quality_scores(spark, sf_dir).select("doc_id", "alpha_ratio")
+    return best_member_per_cluster(comp.join(q, "doc_id"), "alpha_ratio")
+
+
+SQL_CLUSTER_BEST_DOCS = f"""
+WITH j AS (
+  SELECT comp.cluster_id, comp.doc_id, q.alpha_ratio
+  FROM ({SQL_CC_CLUSTERS}) comp JOIN ({SQL_QUALITY_SCORES}) q
+    USING (doc_id)
+), r AS (
+  SELECT cluster_id, doc_id, alpha_ratio,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY alpha_ratio DESC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY cluster_id) AS n_members
+  FROM j
+)
+SELECT cluster_id, doc_id AS rep_doc_id, alpha_ratio AS rep_alpha_ratio,
+       n_members
+FROM r WHERE rn = 1
+"""
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "token_jaccard_pairs": q_token_jaccard_pairs,
@@ -1677,6 +1712,7 @@ QUERIES = {
     "decontaminated_docs": q_decontaminated_docs,
     "pii_redacted_docs": q_pii_redacted_docs,
     "token_budget_sample": q_token_budget_sample,
+    "cluster_best_docs": q_cluster_best_docs,
 }
 
 ORACLES = {
@@ -1731,4 +1767,5 @@ ORACLES = {
     "decontaminated_docs": SQL_DECONTAMINATED_DOCS,
     "pii_redacted_docs": SQL_PII_REDACTED_DOCS,
     "token_budget_sample": SQL_TOKEN_BUDGET_SAMPLE,
+    "cluster_best_docs": SQL_CLUSTER_BEST_DOCS,
 }

@@ -184,3 +184,42 @@ def test_token_budget_plan_partitions_by_bucket(spark, sample_docs):
     assert "bucket" in plan
     for m in _PY_MARKERS:
         assert m not in plan
+
+
+# ------------------------------------------------------- representative
+
+
+def test_best_member_per_cluster_argmax_and_tiebreak(spark):
+    from name_deduplication_python_spark.operators.report import (
+        best_member_per_cluster,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, 0.5),
+            (2, 10, 0.9),   # winner of cluster 10
+            (3, 20, 0.7),
+            (4, 20, 0.7),   # tie -> min doc_id (3) wins
+            (9, 30, 0.1),   # singleton
+        ],
+        ["doc_id", "cluster_id", "alpha_ratio"],
+    )
+    rows = {
+        r.cluster_id: r
+        for r in best_member_per_cluster(df, "alpha_ratio").collect()
+    }
+    assert rows[10].rep_doc_id == 2 and rows[10].n_members == 2
+    assert rows[20].rep_doc_id == 3 and rows[20].rep_alpha_ratio == 0.7
+    assert rows[30].rep_doc_id == 9 and rows[30].n_members == 1
+
+
+def test_best_member_per_cluster_plan_is_single_aggregate(spark):
+    from name_deduplication_python_spark.operators.report import (
+        best_member_per_cluster,
+    )
+
+    df = spark.createDataFrame([(1, 10, 0.5)], ["doc_id", "cluster_id", "alpha_ratio"])
+    plan = _plan(best_member_per_cluster(df, "alpha_ratio"))
+    assert "Window" not in plan  # argmax via struct-max agg, no per-cluster sort
+    for m in _PY_MARKERS:
+        assert m not in plan
