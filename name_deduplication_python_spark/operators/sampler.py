@@ -36,19 +36,16 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def token_budget_sample(
+def cumulative_tokens(
     docs: DataFrame,
-    budget_tokens: int,
     strata_col: str = "lang",
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Documents whose running token total (in md5(id) priority order
-    within each stratum) stays within `budget_tokens`.
-
-    Returns (id_col, strata_col, n_tokens, cum_tokens) for the selected
-    documents. A document that would cross the budget is excluded (the
-    budget is a hard cap, not a nearest-target)."""
+    """(id, stratum, n_tokens, cum_tokens): the exact per-stratum
+    running token total in md5(id) priority order, computed with the
+    two-pass bucketed plan described in the module docstring. Shared
+    kernel of token_budget_sample and assign_shards."""
     toks = F.size(F.split(F.trim(F.col(text_col)), " "))
     base = docs.select(
         F.col(id_col).alias("id"),
@@ -79,17 +76,66 @@ def token_budget_sample(
         .orderBy("k", "id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    cum = (
+    return (
         base.join(F.broadcast(offsets), ["stratum", "bucket"])
         .withColumn(
             "cum_tokens",
             (F.col("offset") + F.sum("n_tokens").over(w_in)).cast("long"),
         )
-        .where(F.col("cum_tokens") <= budget_tokens)
+        .select("id", "stratum", "n_tokens", "cum_tokens")
     )
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budget_tokens: int,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Documents whose running token total (in md5(id) priority order
+    within each stratum) stays within `budget_tokens`.
+
+    Returns (id_col, strata_col, n_tokens, cum_tokens) for the selected
+    documents. A document that would cross the budget is excluded (the
+    budget is a hard cap, not a nearest-target)."""
+    cum = cumulative_tokens(
+        docs, strata_col=strata_col, id_col=id_col, text_col=text_col
+    ).where(F.col("cum_tokens") <= budget_tokens)
     return cum.select(
         F.col("id").alias(id_col),
         F.col("stratum").alias(strata_col),
         "n_tokens",
         "cum_tokens",
+    )
+
+
+def assign_shards(
+    docs: DataFrame,
+    tokens_per_shard: int,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy shard packing for a training data loader: documents fill
+    per-stratum shards of ~`tokens_per_shard` tokens in md5(id) priority
+    order; a document belongs to the shard where it STARTS (documents
+    never split, so a shard overflows by at most one document — the
+    standard loader contract).
+
+    Returns (id_col, strata_col, n_tokens, shard_id) with shard_id
+    dense from 0 within each stratum. Same two-pass cumulative-sum
+    plan as token_budget_sample — no per-stratum global sort."""
+    cum = cumulative_tokens(
+        docs, strata_col=strata_col, id_col=id_col, text_col=text_col
+    )
+    return cum.select(
+        F.col("id").alias(id_col),
+        F.col("stratum").alias(strata_col),
+        "n_tokens",
+        # integer div keeps the assignment exact at any corpus size
+        # (no double rounding at 10^14-token cumulative counts)
+        F.expr(f"(cum_tokens - n_tokens) div {int(tokens_per_shard)}")
+        .cast("long")
+        .alias("shard_id"),
     )

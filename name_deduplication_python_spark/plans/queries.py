@@ -1676,6 +1676,40 @@ FROM r WHERE rn = 1
 """
 
 
+# --------------------------------------------------------------------------
+# Greedy shard packing (training-loader layout): per-stratum shards of
+# ~_SHARD_TOKENS tokens in the same md5 priority order as the sampler; a
+# doc lives in the shard where it starts. Shares the sampler's two-pass
+# cumulative-sum kernel.
+# --------------------------------------------------------------------------
+
+_SHARD_TOKENS = 5_000
+
+
+def q_shard_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampler import assign_shards
+
+    return assign_shards(_docs(spark, sf_dir), _SHARD_TOKENS)
+
+
+SQL_SHARD_ASSIGNMENTS = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         len(string_split(trim(text), ' '))::INT AS n_tokens,
+         md5(doc_id::VARCHAR) AS k
+  FROM documents
+), c AS (
+  SELECT doc_id, lang, n_tokens,
+         (sum(n_tokens) OVER (
+            PARTITION BY lang ORDER BY k, doc_id))::BIGINT AS cum_tokens
+  FROM t
+)
+SELECT doc_id, lang, n_tokens,
+       ((cum_tokens - n_tokens) // {_SHARD_TOKENS})::BIGINT AS shard_id
+FROM c
+"""
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "token_jaccard_pairs": q_token_jaccard_pairs,
@@ -1713,6 +1747,7 @@ QUERIES = {
     "pii_redacted_docs": q_pii_redacted_docs,
     "token_budget_sample": q_token_budget_sample,
     "cluster_best_docs": q_cluster_best_docs,
+    "shard_assignments": q_shard_assignments,
 }
 
 ORACLES = {
@@ -1768,4 +1803,5 @@ ORACLES = {
     "pii_redacted_docs": SQL_PII_REDACTED_DOCS,
     "token_budget_sample": SQL_TOKEN_BUDGET_SAMPLE,
     "cluster_best_docs": SQL_CLUSTER_BEST_DOCS,
+    "shard_assignments": SQL_SHARD_ASSIGNMENTS,
 }

@@ -223,3 +223,43 @@ def test_best_member_per_cluster_plan_is_single_aggregate(spark):
     assert "Window" not in plan  # argmax via struct-max agg, no per-cluster sort
     for m in _PY_MARKERS:
         assert m not in plan
+
+
+# ------------------------------------------------------------------- shards
+
+
+def test_assign_shards_matches_naive_packing(spark, sample_docs):
+    from name_deduplication_python_spark.operators.sampler import assign_shards
+
+    df, pdf = sample_docs
+    size = 400
+    got = {r.doc_id: r.shard_id for r in assign_shards(df, size).collect()}
+    # naive: per lang, md5 order, doc starts in shard floor(prev_cum/size)
+    pdf = pdf.copy()
+    pdf["k"] = pdf.doc_id.map(lambda i: hashlib.md5(str(i).encode()).hexdigest())
+    want = {}
+    for _, grp in pdf.groupby("lang"):
+        grp = grp.sort_values(["k", "doc_id"])
+        cum = 0
+        for _, row in grp.iterrows():
+            want[row.doc_id] = cum // size
+            cum += row.n_tokens
+    assert got == want
+    # every doc is assigned, shard ids dense from 0 per stratum
+    assert set(got) == set(pdf.doc_id)
+
+
+def test_assign_shards_overflow_bounded_by_one_doc(spark):
+    from name_deduplication_python_spark.operators.sampler import assign_shards
+
+    # 7-token docs into 10-token shards: each shard holds the doc that
+    # starts in it; shard token totals never exceed size + max_doc - 1
+    df = spark.createDataFrame(
+        [(i, "en", "t " * 7) for i in range(10)], ["doc_id", "lang", "text"]
+    )
+    rows = assign_shards(df, 10).collect()
+    totals = {}
+    for r in rows:
+        totals[r.shard_id] = totals.get(r.shard_id, 0) + r.n_tokens
+    assert all(t <= 10 + 7 - 1 for t in totals.values())
+    assert min(r.shard_id for r in rows) == 0
