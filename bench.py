@@ -64,6 +64,12 @@ HEADLINE_QUERIES = [
     # round-5 ops: substring span removal + gopher quality filter
     "span_removed_docs",
     "gopher_quality_flags",
+    # round-5b ops: decontamination (broadcast eval grams), PII scrub
+    # (pure codegen), sampler + shard packing (two-pass bucketed cumsum)
+    "decontaminated_docs",
+    "pii_redacted_docs",
+    "token_budget_sample",
+    "shard_assignments",
 ]
 
 
