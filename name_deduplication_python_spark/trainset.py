@@ -1,0 +1,173 @@
+"""End-to-end training-set construction: the composition a 100 TB
+pretraining-data user actually runs, built entirely from this engine's
+operators (no new kernels).
+
+    raw documents
+      -> near-duplicate clustering      (signatures -> LSH -> verify -> CC)
+      -> best-quality representative    (report.best_member_per_cluster)
+      -> Gopher quality filter          (text_stats.gopher_flags)
+      -> eval-set decontamination       (decontaminate.flag_contaminated)
+      -> PII scrub                      (pii.redact_documents)
+      -> token-budget sample            (sampler.token_budget_sample)
+      -> shard assignment               (sampler.assign_shards)
+
+Scale notes: every stage is one of the already-audited plans — the
+dedup spine's single keyed shuffle + broadcast-bounded CC, a struct-max
+aggregate for representatives, map-only quality/PII/decon stages (decon
+broadcasts the eval grams), and the two-pass bucketed cumulative sum
+for sampling/sharding. Nothing here introduces a new shuffle shape.
+
+The funnel is deliberately ordered: dedup FIRST so quality filtering
+and decontamination see one copy per cluster (cheapest), sampling LAST
+so the token budget is filled with clean, decontaminated text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import DEFAULT_CONFIG
+from .functions.pii import redact_documents
+from .functions.text_stats import gopher_flags
+from .operators.components import components_with_singletons
+from .operators.decontaminate import flag_contaminated
+from .operators.lsh import band_keys, candidate_pairs
+from .operators.report import best_member_per_cluster
+from .operators.sampler import assign_shards, token_budget_sample
+from .operators.signatures import signature_stage
+from .operators.verify import verify_stage
+
+
+def _near_dup_clusters(docs: DataFrame, cfg: dict) -> DataFrame:
+    """(url, cluster_id) over (url, text) docs at the engine config —
+    the same spine as DedupPipeline, unstaged."""
+    sigs = signature_stage(
+        docs,
+        num_hashes=cfg["num_hashes"],
+        shingle_k=cfg["shingle_k"],
+        seed=cfg["seed"],
+    )
+    keys = band_keys(
+        sigs, bands=cfg["bands"], rows_per_band=cfg["rows_per_band"]
+    )
+    pairs, _ = candidate_pairs(
+        keys, bucket_cap=cfg["bucket_cap"], with_stats=False
+    )
+    edges = verify_stage(
+        pairs,
+        sigs,
+        num_hashes=cfg["num_hashes"],
+        jaccard_threshold=cfg["jaccard_threshold"],
+        simhash_radius=cfg["simhash_radius"],
+    )
+    return components_with_singletons(edges.select("src", "dst"), docs, "url")
+
+
+def build_training_set(
+    spark: SparkSession,
+    docs: DataFrame,
+    eval_docs: DataFrame | None = None,
+    budget_tokens: int | None = None,
+    tokens_per_shard: int = 100_000,
+    strata_col: str = "lang",
+    config: dict | None = None,
+    decon_ngram: int = 13,
+) -> tuple[DataFrame, dict]:
+    """Run the full funnel over `docs` (doc_id, text, <strata_col>).
+
+    eval_docs      held-out benchmark docs (doc_id, text) to
+                   decontaminate against; None skips the stage.
+    budget_tokens  per-stratum token budget; None keeps everything.
+
+    Returns (shards_df, stats): shards_df is (doc_id, <strata_col>,
+    text, n_tokens, shard_id) with PII scrubbed; stats counts the
+    funnel (n_input, n_clusters, n_quality, n_clean, n_sampled,
+    n_shards, total_tokens). Stats cost one count per stage boundary —
+    acceptable for a batch build job; pass through lazily by ignoring
+    them only if needed.
+    """
+    cfg = dict(DEFAULT_CONFIG)
+    if config:
+        cfg.update(config)
+
+    base = docs.select(
+        F.col("doc_id"),
+        F.col(strata_col),
+        F.col("text"),
+    )
+    n_input = base.count()
+
+    # 1-2. near-dup clusters + best-quality representative per cluster.
+    spine = base.select(
+        F.col("doc_id").cast("string").alias("url"), "text"
+    )
+    clusters = _near_dup_clusters(spine, cfg)
+    alpha = F.round(
+        F.length(F.regexp_replace("text", "[^a-z]", ""))
+        / F.greatest(F.length("text"), F.lit(1)),
+        6,
+    ).alias("alpha_ratio")
+    members = clusters.join(
+        base.select(F.col("doc_id").cast("string").alias("url"), alpha),
+        "url",
+    ).select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        "cluster_id",
+        "alpha_ratio",
+    )
+    reps = best_member_per_cluster(members, "alpha_ratio")
+    survivors = base.join(
+        reps.select(F.col("rep_doc_id").alias("doc_id")), "doc_id"
+    )
+    n_clusters = reps.count()
+
+    # 3. Gopher quality filter.
+    flags = gopher_flags(F.col("text"))
+    quality = survivors.where(
+        flags["passes_gopher"].cast("boolean")
+    )
+    n_quality = quality.count()
+
+    # 4. decontamination (broadcast eval grams; map-only corpus side).
+    if eval_docs is not None:
+        decon = flag_contaminated(
+            quality, eval_docs, n=decon_ngram
+        ).where(F.col("is_contaminated") == 0)
+        clean = quality.join(decon.select("doc_id"), "doc_id")
+    else:
+        clean = quality
+    n_clean = clean.count()
+
+    # 5. PII scrub (map-only, fuses into the scan).
+    scrubbed = redact_documents(clean).drop(
+        "n_emails", "n_phones", "n_ipv4s"
+    )
+
+    # 6-7. token budget + shard assignment (shared cumsum kernel).
+    if budget_tokens is not None:
+        picked = token_budget_sample(
+            scrubbed, budget_tokens, strata_col=strata_col
+        )
+        sampled = scrubbed.join(picked.select("doc_id"), "doc_id")
+    else:
+        sampled = scrubbed
+    shards = assign_shards(
+        sampled, tokens_per_shard, strata_col=strata_col
+    ).join(sampled.select("doc_id", "text"), "doc_id")
+
+    agg = shards.agg(
+        F.count("*").alias("n"),
+        F.countDistinct(strata_col, "shard_id").alias("n_shards"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    ).collect()[0]
+    stats = {
+        "n_input": n_input,
+        "n_clusters": n_clusters,
+        "n_quality": n_quality,
+        "n_clean": n_clean,
+        "n_sampled": int(agg["n"]),
+        "n_shards": int(agg["n_shards"]),
+        "total_tokens": int(agg["total_tokens"] or 0),
+    }
+    return shards, stats

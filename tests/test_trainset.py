@@ -1,0 +1,85 @@
+"""End-to-end training-set funnel (trainset.build_training_set):
+dedup -> quality -> decontamination -> PII -> budget -> shards, each
+stage verified to act on a planted document."""
+
+from __future__ import annotations
+
+import pytest
+
+from name_deduplication_python_spark.trainset import build_training_set
+
+# Distinct 70-ish-word bases (disjoint vocabularies so only the planted
+# near-dup pair clusters); each passes the Gopher conjunction.
+_BASE_A = (
+    "the quick brown fox jumps over the lazy dog and runs to the green "
+    "hills where the small birds sing songs of summer in the warm wind "
+) * 3
+_BASE_B = (
+    "a tall ship sails across the cold grey sea and carries heavy cargo "
+    "of iron timber grain salt wool is bound for distant harbor towns "
+) * 3
+_BASE_C = (
+    "deep in the old stone castle a wise keeper guards dusty maps and "
+    "ancient scrolls that tell of lost roads is rivers bridges gates "
+) * 3
+
+_EVAL_TEXT = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda "
+    "mu nu xi omicron pi rho sigma tau upsilon"
+)
+
+
+@pytest.fixture(scope="module")
+def funnel(spark):
+    eval_13 = " ".join(_EVAL_TEXT.split()[:13])
+    docs = spark.createDataFrame(
+        [
+            # near-dup pair -> one representative survives
+            (1, "en", _BASE_A + "ending one"),
+            (2, "en", _BASE_A + "ending one two"),
+            # too short -> fails the Gopher word-count band
+            (3, "en", "way too short to pass the quality filter"),
+            # clean unique doc with PII to scrub
+            (4, "en", _BASE_B + "please write to bob@example.com for details"),
+            # quality doc carrying a 13-gram of the eval set -> dirty
+            (5, "en", _BASE_C + eval_13),
+        ],
+        ["doc_id", "lang", "text"],
+    )
+    ev = spark.createDataFrame([(100, _EVAL_TEXT)], ["doc_id", "text"])
+    shards, stats = build_training_set(
+        spark,
+        docs,
+        eval_docs=ev,
+        budget_tokens=10_000,
+        tokens_per_shard=60,
+    )
+    return shards.collect(), stats
+
+
+def test_funnel_counts(funnel):
+    rows, stats = funnel
+    assert stats["n_input"] == 5
+    assert stats["n_clusters"] == 4        # {1,2} merged; 3,4,5 singletons
+    assert stats["n_quality"] == 3         # doc 3 dropped by Gopher
+    assert stats["n_clean"] == 2           # doc 5 dropped by decontamination
+    assert stats["n_sampled"] == 2
+    assert stats["total_tokens"] > 0
+
+
+def test_funnel_survivors_and_pii(funnel):
+    rows, _ = funnel
+    ids = {r.doc_id for r in rows}
+    assert 3 not in ids and 5 not in ids
+    assert len(ids & {1, 2}) == 1          # exactly one of the near-dup pair
+    assert 4 in ids
+    doc4 = next(r for r in rows if r.doc_id == 4)
+    assert "[EMAIL]" in doc4.text and "bob@example.com" not in doc4.text
+
+
+def test_funnel_shard_assignment(funnel):
+    rows, stats = funnel
+    # ~100-token docs into 60-token shards: each doc starts its own shard
+    assert stats["n_shards"] == len(rows)
+    assert all(r.shard_id >= 0 for r in rows)
+    assert all(r.n_tokens > 0 for r in rows)
