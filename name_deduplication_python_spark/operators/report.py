@@ -173,15 +173,18 @@ def best_member_per_cluster(
     replaces the pipeline's default min-url representative when a
     quality signal exists.
 
-    One map-combined aggregate (max over a (score, -id) struct — the
-    lexicographic max IS argmax-with-min-id-tiebreak), no window, no
-    per-cluster sort: at 10^12 docs this is a single combine-heavy
+    One map-combined aggregate (min over a (-score, id) struct — the
+    lexicographic min IS argmax-score-with-min-id-tiebreak), no window,
+    no per-cluster sort: at 10^12 docs this is a single combine-heavy
     shuffle keyed by cluster_id, the same key the CC output already
-    carries. Returns (cluster_col, rep_<id_col>, rep_<score_col>,
-    n_members)."""
-    m = F.max(
+    carries. The ordering is inverted on the NUMERIC score (negation),
+    never on the id, so ids keep their native type — the pipeline's
+    canonical string urls work unchanged (negating a string id would
+    raise CAST_INVALID_INPUT under ANSI mode). Returns (cluster_col,
+    rep_<id_col>, rep_<score_col>, n_members)."""
+    m = F.min(
         F.struct(
-            F.col(score_col).alias("s"), (-F.col(id_col)).alias("neg_id")
+            (-F.col(score_col)).alias("ns"), F.col(id_col).alias("i")
         )
     ).alias("m")
     return (
@@ -189,8 +192,8 @@ def best_member_per_cluster(
         .agg(m, F.count("*").alias("n_members"))
         .select(
             cluster_col,
-            (-F.col("m.neg_id")).alias(f"rep_{id_col}"),
-            F.col("m.s").alias(f"rep_{score_col}"),
+            F.col("m.i").alias(f"rep_{id_col}"),
+            (-F.col("m.ns")).alias(f"rep_{score_col}"),
             "n_members",
         )
     )

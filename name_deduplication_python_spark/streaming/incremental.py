@@ -44,6 +44,11 @@ class IncrementalDedup:
         self.spark = spark
         self.store = store_dir
         self.cfg = dict(DEFAULT_CONFIG, **(config or {}))
+        # MUST run before the makedirs below: a crash mid-compact_store
+        # leaves the real store parked at <sub>__old, and blindly
+        # recreating an empty <sub>/ would make _read_store treat the
+        # store as cold — silently skipping all cross-epoch pairs.
+        self._recover_compaction()
         os.makedirs(os.path.join(store_dir, "signatures"), exist_ok=True)
         os.makedirs(os.path.join(store_dir, "band_keys"), exist_ok=True)
         os.makedirs(os.path.join(store_dir, "edges"), exist_ok=True)
@@ -54,6 +59,42 @@ class IncrementalDedup:
         # the bp layout; legacy stores keep working with row-level
         # (broadcast semi-join) pruning only.
         self._bp_layout = self._band_store_is_partitioned()
+
+    def _recover_compaction(self) -> None:
+        """Complete or discard a compact_store swap interrupted by a crash.
+
+        compact_store's protocol makes every half-state unambiguous: the
+        <sub>__compact rewrite is fully complete (epoch _SUCCESS markers
+        included) BEFORE rename(root -> __old); only then runs
+        rename(__compact -> root); only then rmtree(__old). So on
+        restart, per store table:
+
+          - __old absent: no swap was in flight. A stray __compact is a
+            finished-but-unswapped (or partial) rewrite — discard it; the
+            rewrite is a pure function of the committed store and the
+            next compaction regenerates it.
+          - __old present, __compact present: crashed between the two
+            renames. Roll FORWARD: the rewrite is complete by protocol —
+            remove any stray empty root (an earlier crashed restart's
+            makedirs), move __compact into place, drop __old.
+          - __old present, __compact absent: crashed during/after
+            rename(__compact -> root) — the live root IS the complete
+            rewrite; __old (possibly part-deleted) is garbage. Drop it.
+        """
+        import shutil
+
+        for sub in ("signatures", "band_keys"):
+            root = os.path.join(self.store, sub)
+            old, tmp = root + "__old", root + "__compact"
+            if not os.path.isdir(old):
+                if os.path.isdir(tmp):
+                    shutil.rmtree(tmp)
+                continue
+            if os.path.isdir(tmp):
+                if os.path.isdir(root):
+                    shutil.rmtree(root)
+                os.rename(tmp, root)
+            shutil.rmtree(old)
 
     def _band_store_is_partitioned(self) -> bool:
         bk = os.path.join(self.store, "band_keys")
@@ -312,12 +353,19 @@ class IncrementalDedup:
         The url -> latest-epoch map is O(corpus): this is a maintenance
         job over the whole store by construction (one shuffle per store
         table), not a per-epoch cost. The directory-rename swap is the
-        local-FS stand-in for an Iceberg REPLACE TABLE snapshot commit; a
-        crash between the two renames is recovered by moving
-        <sub>__compact into place (the rewrite is a pure function of the
-        committed store). Returns per-store before/after rowcounts."""
+        local-FS stand-in for an Iceberg REPLACE TABLE snapshot commit,
+        made crash-safe by ordering: the <sub>__compact rewrite is COMPLETE
+        (epoch _SUCCESS markers included) before the first rename, so any
+        half-state is mechanically recoverable — _recover_compaction
+        (run at __init__ and before each compaction) rolls the swap
+        forward when the rewrite survived the crash and discards it
+        otherwise (the rewrite is a pure function of the committed store,
+        so redoing it is always safe). A crash can therefore never leave
+        a store that READS as empty/cold. Returns per-store before/after
+        rowcounts."""
         import shutil
 
+        self._recover_compaction()
         committed = self._committed_epochs()
         stats: dict = {"committed_epochs": len(committed)}
         if not committed:
@@ -349,14 +397,17 @@ class IncrementalDedup:
             kept = df.join(latest, ["url", "epoch"], "left_semi")
             tmp = root + "__compact"
             kept.write.mode("overwrite").partitionBy(*part_cols).parquet(tmp)
+            # finish the rewrite IN PLACE before the swap: epoch marker
+            # dirs are recreated inside tmp, so tmp is a complete store
+            # the moment the first rename runs (recovery invariant).
+            for e in committed:
+                d = os.path.join(tmp, f"epoch={e}")
+                os.makedirs(d, exist_ok=True)
+                open(os.path.join(d, "_SUCCESS"), "a").close()
             old = root + "__old"
             os.rename(root, old)
             os.rename(tmp, root)
             shutil.rmtree(old)
-            for e in committed:
-                d = os.path.join(root, f"epoch={e}")
-                os.makedirs(d, exist_ok=True)
-                open(os.path.join(d, "_SUCCESS"), "a").close()
             stats[f"{sub}_rows_after"] = self.spark.read.parquet(root).count()
         return stats
 

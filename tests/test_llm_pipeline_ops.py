@@ -213,6 +213,30 @@ def test_best_member_per_cluster_argmax_and_tiebreak(spark):
     assert rows[30].rep_doc_id == 9 and rows[30].n_members == 1
 
 
+def test_best_member_per_cluster_string_ids(spark):
+    # The pipeline's canonical ids are urls (strings): the argmax must
+    # not negate the id column (ANSI would raise CAST_INVALID_INPUT).
+    from name_deduplication_python_spark.operators.report import (
+        best_member_per_cluster,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("u-b", "c1", 0.5),
+            ("u-a", "c1", 0.9),   # winner on score
+            ("u-d", "c2", 0.7),
+            ("u-c", "c2", 0.7),   # tie -> lexicographically smallest url
+        ],
+        ["doc_id", "cluster_id", "alpha_ratio"],
+    )
+    rows = {
+        r.cluster_id: r
+        for r in best_member_per_cluster(df, "alpha_ratio").collect()
+    }
+    assert rows["c1"].rep_doc_id == "u-a"
+    assert rows["c2"].rep_doc_id == "u-c" and rows["c2"].rep_alpha_ratio == 0.7
+
+
 def test_best_member_per_cluster_plan_is_single_aggregate(spark):
     from name_deduplication_python_spark.operators.report import (
         best_member_per_cluster,

@@ -442,3 +442,64 @@ def test_compact_store_drops_stale_versions_preserving_semantics(spark, tmp_path
     want = {tuple(sorted((r.src, r.dst))) for r in control.edges().collect()}
     assert got == want
     assert ("u1", "u4") in got and ("u3", "u4") in got
+
+
+def test_compact_store_crash_mid_swap_recovers_not_cold(spark, tmp_path):
+    """A crash between compact_store's two renames must NOT read as a cold
+    store on restart (the round-4 verdict failure mode: __init__ recreated
+    an empty band_keys/, _read_store returned None, and every later epoch
+    silently skipped all cross pairs). Recovery must roll the completed
+    rewrite forward and preserve edge semantics; a stray __compact with no
+    swap in flight is discarded."""
+    import shutil
+
+    import numpy as np
+
+    vocab = [f"w{i}" for i in range(500)]
+
+    def doc(seed_off, mutate=0):
+        r = np.random.default_rng(300 + seed_off)
+        toks = list(r.choice(vocab, size=220))
+        for i in range(mutate):
+            toks[7 * i] = f"m{seed_off}_{i}"
+        return " ".join(toks)
+
+    store = str(tmp_path / "s")
+    inc = IncrementalDedup(spark, store)
+    inc.process_batch(_pages(spark, [("u1", doc(1)), ("u2", doc(1, mutate=2))]), 0)
+
+    # Simulate each crash state by re-creating it from a healthy store.
+    # State A: crashed between rename(root -> __old) and rename(__compact
+    # -> root): root missing, original parked at __old, complete rewrite
+    # at __compact (per protocol the markers are inside tmp pre-swap).
+    for sub in ("signatures", "band_keys"):
+        root = os.path.join(store, sub)
+        shutil.copytree(root, root + "__compact")
+        os.rename(root, root + "__old")
+
+    inc2 = IncrementalDedup(spark, store)  # restart triggers recovery
+    for sub in ("signatures", "band_keys"):
+        root = os.path.join(store, sub)
+        assert os.path.isdir(root)
+        assert not os.path.isdir(root + "__old")
+        assert not os.path.isdir(root + "__compact")
+    assert inc2._read_store("band_keys") is not None  # NOT cold
+    # cross-epoch pairing against the recovered store still works
+    inc2.process_batch(_pages(spark, [("u3", doc(1, mutate=3))]), 1)
+    edges = {tuple(sorted((r.src, r.dst))) for r in inc2.edges().collect()}
+    assert ("u1", "u3") in edges and ("u2", "u3") in edges
+
+    # State B: crashed after the rewrite but before any rename: root
+    # intact, stray __compact only -> discarded, store untouched.
+    sig_root = os.path.join(store, "signatures")
+    shutil.copytree(sig_root, sig_root + "__compact")
+    inc3 = IncrementalDedup(spark, store)
+    assert not os.path.isdir(sig_root + "__compact")
+    assert inc3._read_store("signatures") is not None
+
+    # State C: crashed during rmtree(__old): live root is the rewrite,
+    # part-deleted __old is garbage -> dropped.
+    os.makedirs(os.path.join(sig_root + "__old", "epoch=0"))
+    inc4 = IncrementalDedup(spark, store)
+    assert not os.path.isdir(sig_root + "__old")
+    assert inc4._read_store("signatures") is not None
