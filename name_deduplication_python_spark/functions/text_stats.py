@@ -101,8 +101,11 @@ def gopher_flags(c) -> dict[str, Column]:
     mean_wl = F.round(
         F.aggregate(toks, F.lit(0.0), lambda a, t: a + F.length(t)) / n_words, 4
     )
+    # [A-Za-z], not [a-z]: the published rule is "contains at least one
+    # alphabetic character" — an acronym-heavy but legitimate document
+    # ('NASA', 'USA', capitalized headings) must not fail the 0.8 floor.
     frac_alpha = F.round(
-        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))) / n_words, 4
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))) / n_words, 4
     )
     lines = F.split(c, "\n")
     n_lines = F.size(lines)

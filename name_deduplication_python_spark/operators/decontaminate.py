@@ -78,27 +78,32 @@ def flag_contaminated(
     Returns (id_col, n_grams, n_overlap, is_contaminated) covering
     EVERY training document (zero-overlap docs included) — the caller
     filters `is_contaminated = 0` to take the clean corpus.
-    """
-    grams = doc_ngram_hashes(
-        train_docs, n=n, id_col=id_col, text_col=text_col
-    ).persist()
-    ev = eval_ngram_set(eval_docs, n=n, text_col=text_col, id_col=id_col)
-    overlaps = (
-        grams.select("id", F.explode("gram_hashes").alias("gram_hash"))
-        .join(F.broadcast(ev), "gram_hash")
-        .groupBy("id")
-        .agg(F.count("*").alias("n_overlap"))
+
+    Single pass, no cache: gram counts and overlap hits ride ONE
+    explode -> broadcast-left-join -> groupBy(id) aggregate
+    (explode_outer keeps zero-gram docs; unmatched grams sum to null ->
+    0). An earlier shape persisted the gram frame to feed two separate
+    branches and never unpersisted it — corpus-sized state pinned in
+    executor storage for the session lifetime."""
+    g = doc_ngram_hashes(train_docs, n=n, id_col=id_col, text_col=text_col)
+    exploded = g.select(
+        "id",
+        F.size("gram_hashes").alias("n_grams"),
+        F.explode_outer("gram_hashes").alias("gram_hash"),
     )
-    out = (
-        grams.select("id", F.size("gram_hashes").alias("n_grams"))
-        .join(overlaps, "id", "left")
+    ev = eval_ngram_set(
+        eval_docs, n=n, text_col=text_col, id_col=id_col
+    ).withColumn("_hit", F.lit(1))
+    return (
+        exploded.join(F.broadcast(ev), "gram_hash", "left")
+        .groupBy("id", "n_grams")
+        .agg(F.sum("_hit").alias("_n_overlap"))
         .select(
             F.col("id").alias(id_col),
             "n_grams",
-            F.coalesce("n_overlap", F.lit(0)).cast("int").alias("n_overlap"),
-            (F.coalesce("n_overlap", F.lit(0)) > 0).cast("int").alias(
+            F.coalesce("_n_overlap", F.lit(0)).cast("int").alias("n_overlap"),
+            (F.coalesce("_n_overlap", F.lit(0)) > 0).cast("int").alias(
                 "is_contaminated"
             ),
         )
     )
-    return out

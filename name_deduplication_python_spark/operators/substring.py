@@ -39,20 +39,14 @@ _B = np.uint64(1099511628211)
 def winnow_fingerprints_np(
     text: str, gram_chars: int = 64, window: int = 32
 ) -> np.ndarray:
-    """Distinct winnowed fingerprints (uint64) of one text."""
-    codes = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-    n = len(codes)
-    if n == 0:
-        return np.array([], dtype=np.uint64)
-    g = min(gram_chars, n)
-    # rolling polynomial hash of every g-gram: acc over g shifted adds
-    acc = np.zeros(n - g + 1, dtype=np.uint64)
-    for j in range(g):
-        acc = acc * _B + codes[j : j + n - g + 1]
-    if len(acc) <= window:
-        return np.unique(acc.min(keepdims=True))
-    sw = np.lib.stride_tricks.sliding_window_view(acc, window)
-    return np.unique(sw.min(axis=1))
+    """Distinct winnowed fingerprints (uint64) of one text.
+
+    Thin wrapper over winnow_anchors_np — ONE winnowing kernel (the
+    code-point domain) serves both the pair detector and the span
+    remover, so they can never disagree on which documents share a run
+    (an earlier utf-8-byte twin kernel hashed different g-gram windows
+    for non-ASCII text)."""
+    return np.unique(winnow_anchors_np(text, gram_chars, window)[0])
 
 
 def fingerprint_stage(

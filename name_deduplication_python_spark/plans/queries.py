@@ -1481,7 +1481,7 @@ WITH t AS (
          len(toks) AS n_words,
          round(list_aggregate(list_transform(toks, x -> length(x)), 'avg'), 4)
            AS mean_word_len,
-         round(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+         round(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
                / len(toks), 4) AS frac_alpha_words,
          round(len(list_filter(lines, l -> regexp_matches(l, '^ *[-*]')))
                / len(lines), 4) AS frac_bullet_lines,

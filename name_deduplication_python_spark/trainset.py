@@ -83,9 +83,17 @@ def build_training_set(
     Returns (shards_df, stats): shards_df is (doc_id, <strata_col>,
     text, n_tokens, shard_id) with PII scrubbed; stats counts the
     funnel (n_input, n_clusters, n_quality, n_clean, n_sampled,
-    n_shards, total_tokens). Stats cost one count per stage boundary —
-    acceptable for a batch build job; pass through lazily by ignoring
-    them only if needed.
+    n_shards, total_tokens).
+
+    Execution discipline: the dedup spine runs ONCE (the cluster-rep
+    table — small, no text — is persisted before its count) and the
+    decontamination n-gram explode runs ONCE (the post-decon frame is
+    persisted before its count); the returned shards frame is eagerly
+    localCheckpoint-ed so the caller's write does not re-execute the
+    funnel, and both intermediates are unpersisted before returning —
+    the only storage left pinned is the deliverable itself. A 10^12-doc
+    deployment stages these boundaries to tables instead
+    (DedupPipeline's stage/resume machinery is that path).
     """
     cfg = dict(DEFAULT_CONFIG)
     if config:
@@ -116,11 +124,11 @@ def build_training_set(
         "cluster_id",
         "alpha_ratio",
     )
-    reps = best_member_per_cluster(members, "alpha_ratio")
+    reps = best_member_per_cluster(members, "alpha_ratio").persist()
     survivors = base.join(
         reps.select(F.col("rep_doc_id").alias("doc_id")), "doc_id"
     )
-    n_clusters = reps.count()
+    n_clusters = reps.count()  # materializes the cache: spine runs once
 
     # 3. Gopher quality filter.
     flags = gopher_flags(F.col("text"))
@@ -137,7 +145,8 @@ def build_training_set(
         clean = quality.join(decon.select("doc_id"), "doc_id")
     else:
         clean = quality
-    n_clean = clean.count()
+    clean = clean.persist()
+    n_clean = clean.count()  # materializes the cache: decon explode runs once
 
     # 5. PII scrub (map-only, fuses into the scan).
     scrubbed = redact_documents(clean).drop(
@@ -152,9 +161,15 @@ def build_training_set(
         sampled = scrubbed.join(picked.select("doc_id"), "doc_id")
     else:
         sampled = scrubbed
-    shards = assign_shards(
-        sampled, tokens_per_shard, strata_col=strata_col
-    ).join(sampled.select("doc_id", "text"), "doc_id")
+    shards = (
+        assign_shards(sampled, tokens_per_shard, strata_col=strata_col)
+        .join(sampled.select("doc_id", "text"), "doc_id")
+        # eager: one execution serves both the stats aggregate below and
+        # the caller's write; lets the funnel caches be dropped here
+        .localCheckpoint()
+    )
+    reps.unpersist()
+    clean.unpersist()
 
     agg = shards.agg(
         F.count("*").alias("n"),

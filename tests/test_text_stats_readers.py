@@ -327,6 +327,28 @@ def test_gopher_filter_documents(spark):
     assert kept == [1]
 
 
+def test_gopher_alpha_rule_counts_uppercase_words(spark):
+    """The Rae et al. rule is 'contains at least one ALPHABETIC char':
+    acronyms and all-caps headings are alphabetic words, so an
+    acronym-heavy but otherwise normal document must pass the 0.8
+    alpha-word floor (a lowercase-only regex silently dropped these)."""
+    import pandas as pd
+
+    from name_deduplication_python_spark.functions.text_stats import (
+        filter_documents, gopher_flags,
+    )
+
+    # >20% of words are all-caps; still a legitimate English document
+    caps = ("NASA ESA JAXA ISRO CNSA the agencies SHARE data and the "
+            "teams WORK with the labs on a joint PLAN for the mission ") * 3
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": [caps]}))
+    flags = df.select(
+        *[v.alias(k) for k, v in gopher_flags(F.col("text")).items()]
+    ).collect()[0]
+    assert flags.frac_alpha_words == 1.0
+    assert [r.doc_id for r in filter_documents(df).collect()] == [1]
+
+
 def test_gopher_flags_plan_is_python_free(spark):
     """The quality filter must stay inside whole-stage codegen — no
     Python evaluation node anywhere in the plan (it runs over every
