@@ -83,3 +83,21 @@ def test_funnel_shard_assignment(funnel):
     assert stats["n_shards"] == len(rows)
     assert all(r.shard_id >= 0 for r in rows)
     assert all(r.n_tokens > 0 for r in rows)
+
+
+def test_funnel_drops_its_caches(spark):
+    """Execution discipline: build_training_set unpersists its two
+    funnel intermediates before returning — the only NEW storage left
+    pinned is the localCheckpoint-ed shards deliverable (a prior shape
+    left corpus-sized frames cached for the session lifetime)."""
+    sc = spark.sparkContext._jsc.sc()
+    before = sc.getPersistentRDDs().size()
+    docs = spark.createDataFrame(
+        [(1, "en", _BASE_A), (2, "en", _BASE_B), (3, "en", _BASE_C)],
+        ["doc_id", "lang", "text"],
+    )
+    shards, stats = build_training_set(spark, docs)
+    assert stats["n_input"] == 3
+    grown = sc.getPersistentRDDs().size() - before
+    # exactly the checkpointed deliverable, nothing else
+    assert grown <= 1, f"{grown} new RDDs pinned after funnel"
