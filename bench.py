@@ -70,6 +70,8 @@ HEADLINE_QUERIES = [
     "pii_redacted_docs",
     "token_budget_sample",
     "shard_assignments",
+    # round-5c: SemDeDup semantic prune (k-means lists + within-list cosine)
+    "semantic_dedup_docs",
 ]
 
 

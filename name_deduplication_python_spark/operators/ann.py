@@ -404,3 +404,96 @@ def embedding_near_dup_pairs(
         .select("src", "dst", F.round(_cosine_expr("qv", "cv"), 6).alias("cosine"))
         .where(F.col("cosine") >= cos_threshold)
     )
+
+
+def semantic_assign(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    iters: int = 2,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """(id, list_id, v) — spherical-k-means cluster assignment of every
+    embedding (double-cast vector retained for the downstream cosine
+    prune). The trainer ships only (list_id, count, partial_sum)
+    parameter rows to the driver (ivf_train_centroids); assignment is
+    one matmul per Arrow batch (ivf_probe_lists, nprobe=1) — map-only,
+    no shuffle. Centroids are float-accumulation-order dependent at the
+    margins, so pipelines that need a replayable assignment materialize
+    this frame (the driver query snapshots it to a parquet view both
+    the engine and the oracle read)."""
+    cents = ivf_train_centroids(
+        emb, id_col, vec_col, n_lists=n_lists, iters=iters, seed=seed, dim=dim
+    )
+    assign = ivf_probe_lists(emb, cents, id_col, vec_col, nprobe=1)
+    vecs = emb.select(
+        id_col, F.transform(vec_col, lambda x: x.cast("double")).alias("v")
+    )
+    return assign.join(vecs, id_col)
+
+
+def semantic_dedup(
+    assigned: DataFrame,
+    id_col: str = "vec_id",
+    cos_threshold: float = 0.95,
+    bucket_cap: int = 256,
+    hot_strategy: str = "salted",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540) — closed-form variant: k-means-cluster the
+    embedding space, then within each cluster drop every document that
+    has a SMALLER-id neighbor at cosine >= cos_threshold.
+
+    The keep rule is deliberately the one-shot NOT-EXISTS form (drop d
+    iff exists kept-or-dropped s < d in d's list with cos(s,d) >=
+    threshold), not the sequential greedy sweep: it is deterministic,
+    order-independent, expressible as one join + anti-join at any scale
+    — and exactly mirrorable in SQL, which is what makes the driver
+    oracle possible. Chain-aware semantics (A~B, B~C, A!~C keeping A
+    and C) are the connected-components near-dup path this engine
+    already has; this op is the cheap high-threshold semantic prune the
+    paper runs at (where chains are rare by construction).
+
+    Within-cluster pairing routes through the LSH stage's skew-guarded
+    bucket join (list_id as the band key): singleton lists pair
+    nothing, lists above bucket_cap get capped connectivity-preserving
+    pairing — a mega-cluster costs ~cap*n/2 pairs, never n^2. At the
+    capped setting a >cap list may keep a duplicate the full rule would
+    drop (same disclosed residual as every capped pairing op; the
+    driver query runs lossless).
+
+    Input is semantic_assign's (id, list_id, v) frame; returns
+    (id, list_id, is_kept int) covering every document."""
+    from .lsh import candidate_pairs
+
+    keys = assigned.select(
+        id_col, F.col("list_id").cast("bigint").alias("bh")
+    )
+    cand, _ = candidate_pairs(
+        keys,
+        id_col=id_col,
+        bucket_cap=bucket_cap,
+        hot_strategy=hot_strategy,
+        with_stats=False,
+    )
+    a = assigned.select(F.col(id_col).alias("src"), F.col("v").alias("va"))
+    b = assigned.select(F.col(id_col).alias("dst"), F.col("v").alias("vb"))
+    dropped = (
+        cand.join(a, "src")
+        .join(b, "dst")
+        .where(_cosine_expr("va", "vb") >= cos_threshold)
+        .select(F.col("dst").alias(id_col))
+        .distinct()
+        .withColumn("_dropped", F.lit(1))
+    )
+    return (
+        assigned.select(id_col, "list_id")
+        .join(dropped, id_col, "left")
+        .select(
+            id_col,
+            "list_id",
+            F.isnull("_dropped").cast("int").alias("is_kept"),
+        )
+    )

@@ -1710,6 +1710,66 @@ FROM c
 """
 
 
+# --------------------------------------------------------------------------
+# 38. semantic_dedup_docs — SemDeDup-style semantic prune (Abbas et al.
+#     2023) over the embeddings table: spherical-k-means lists (the IVF
+#     quantizer), then within each list drop every doc with a smaller-id
+#     neighbor at cosine >= theta. Same materialized-view pattern as
+#     simhash_near_pairs: the k-means assignment (float-accumulation-
+#     order dependent at the margins, not SQL-expressible) is snapshotted
+#     to a parquet view; the engine's prune AND the DuckDB oracle both
+#     read that snapshot, so the oracle checks the prune rule exactly.
+# --------------------------------------------------------------------------
+
+_SEMDEDUP_VIEW_ROOT = os.environ.get(
+    "SPARK_GRAFT_SEMDEDUP_VIEW_DIR",
+    os.path.join("/tmp", f"ndps_driver_views_u{os.getuid()}", "semdedup_assign"),
+)
+_SEMDEDUP_ORACLE_SF = "sf0.01"
+_SEMDEDUP_THETA = 0.40   # sf0.01 max pair cosine is 0.513; 59 pairs >= 0.40
+_SEMDEDUP_LISTS = 8
+
+
+def q_semantic_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-embedding (vec_id, list_id, is_kept) under the SemDeDup
+    closed-form keep rule (operators/ann.py:semantic_dedup — docstring
+    there states the rule and its relation to the paper's greedy sweep).
+    Runs lossless (bucket_cap covers any list) at driver scale; the
+    production default caps hot lists through the shared skew machinery.
+    Like q_simhash_near_pairs, invoking this builder eagerly refreshes
+    the assignment view so the oracle can never read a stale snapshot."""
+    from ..operators.ann import semantic_assign, semantic_dedup
+
+    assigned = semantic_assign(
+        _emb(spark, sf_dir),
+        n_lists=_SEMDEDUP_LISTS,
+        seed=DEFAULT_CONFIG["seed"],
+    )
+    base = os.path.join(
+        _SEMDEDUP_VIEW_ROOT, os.path.basename(os.path.normpath(sf_dir))
+    )
+    view = _refresh_view(assigned, base)
+    assigned = spark.read.parquet(view)
+    return semantic_dedup(
+        assigned, cos_threshold=_SEMDEDUP_THETA, bucket_cap=1_000_000
+    )
+
+
+SQL_SEMANTIC_DEDUP_DOCS = f"""
+WITH n AS (
+  SELECT vec_id, list_id, v,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+  FROM read_parquet('{_SEMDEDUP_VIEW_ROOT}/{_SEMDEDUP_ORACLE_SF}/current/*.parquet')
+), dup AS (
+  SELECT DISTINCT a.vec_id AS vec_id
+  FROM n a JOIN n b ON a.list_id = b.list_id AND b.vec_id < a.vec_id
+  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {_SEMDEDUP_THETA}
+)
+SELECT n.vec_id, n.list_id, (dup.vec_id IS NULL)::INT AS is_kept
+FROM n LEFT JOIN dup ON n.vec_id = dup.vec_id
+"""
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "token_jaccard_pairs": q_token_jaccard_pairs,
@@ -1748,6 +1808,7 @@ QUERIES = {
     "token_budget_sample": q_token_budget_sample,
     "cluster_best_docs": q_cluster_best_docs,
     "shard_assignments": q_shard_assignments,
+    "semantic_dedup_docs": q_semantic_dedup_docs,
 }
 
 ORACLES = {
@@ -1804,4 +1865,5 @@ ORACLES = {
     "token_budget_sample": SQL_TOKEN_BUDGET_SAMPLE,
     "cluster_best_docs": SQL_CLUSTER_BEST_DOCS,
     "shard_assignments": SQL_SHARD_ASSIGNMENTS,
+    "semantic_dedup_docs": SQL_SEMANTIC_DEDUP_DOCS,
 }

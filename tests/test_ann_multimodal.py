@@ -354,3 +354,37 @@ def test_audio_features_fake_mode_and_strict_rejection(spark):
     assert out.loc["a1", "sample_rate"] == 16000
     with _pytest.raises(Exception, match="only PCM WAV decodes"):
         audio_features(media, strict=True).toPandas()
+
+
+# ------------------------------------------------------ semantic dedup
+
+
+def test_semantic_dedup_closed_form_rule(spark):
+    """SemDeDup prune: within a k-means list, a doc is dropped iff a
+    smaller-id doc in the SAME list sits at cosine >= threshold. Planted
+    geometry: ids 0,1,2 are near-identical (one list), 10 is the same
+    direction with a tiny perturbation, 20 is orthogonal."""
+    import numpy as np
+
+    from name_deduplication_python_spark.operators.ann import (
+        semantic_assign, semantic_dedup,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=8)
+    rows = []
+    for vid in (0, 1, 2, 10):
+        v = base + rng.normal(scale=0.01, size=8)
+        rows.append((vid, [float(x) for x in v]))
+    ortho = np.zeros(8); ortho[0], ortho[1] = -base[1], base[0]
+    rows.append((20, [float(x) for x in ortho]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    assigned = semantic_assign(emb, n_lists=2, seed=1)
+    out = {
+        r.vec_id: r.is_kept
+        for r in semantic_dedup(assigned, cos_threshold=0.99).collect()
+    }
+    assert len(out) == 5                      # every doc covered
+    assert out[0] == 1                        # min id of its family kept
+    assert out[1] == 0 and out[2] == 0 and out[10] == 0
+    assert out[20] == 1                       # orthogonal singleton kept
