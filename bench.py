@@ -71,7 +71,9 @@ HEADLINE_QUERIES = [
     "token_budget_sample",
     "shard_assignments",
     # round-5c: SemDeDup semantic prune (k-means lists + within-list cosine)
+    # + DSIR importance scores (hashed-n-gram log-ratio vs a target corpus)
     "semantic_dedup_docs",
+    "dsir_scores",
 ]
 
 

@@ -1770,6 +1770,85 @@ FROM n LEFT JOIN dup ON n.vec_id = dup.vec_id
 """
 
 
+# --------------------------------------------------------------------------
+# 39. dsir_scores — DSIR importance weights (Xie et al. 2023,
+#     arXiv:2302.03169) over the documents table: hashed unigram+bigram
+#     buckets, target = every 17th doc (a stand-in for the user's
+#     high-quality corpus), raw = the rest; each raw doc scores
+#     sum(ln p_target(bucket) - ln p_raw(bucket)) over its grams.
+#     Fully end-to-end oracle-able — bucketing is an md5-prefix hash
+#     (int(md5[:12],16) % B) that DuckDB computes bit-identically, so
+#     unlike simhash/semdedup no materialized view is needed.
+# --------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 4096
+_DSIR_TARGET_MOD = 17
+
+
+def q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dsir import dsir_weights, fit_dsir_logratio
+
+    docs = _docs(spark, sf_dir)
+    target = docs.where(F.col("doc_id") % _DSIR_TARGET_MOD == 0)
+    raw = docs.where(F.col("doc_id") % _DSIR_TARGET_MOD != 0)
+    lr = fit_dsir_logratio(target, raw, buckets=_DSIR_BUCKETS)
+    w = dsir_weights(raw, lr, buckets=_DSIR_BUCKETS)
+    return w.select(
+        "doc_id",
+        "n_grams",
+        F.round("dsir_logweight", 4).alias("dsir_logweight"),
+    )
+
+
+SQL_DSIR_SCORES = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+), g AS (
+  SELECT doc_id,
+         list_concat(
+           toks,
+           CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+                ELSE [array_to_string(toks[i:i+1], ' ')
+                      FOR i IN range(1, len(toks))] END
+         ) AS grams
+  FROM tok
+), b AS (
+  SELECT doc_id,
+         [(cast(('0x' || substr(md5(x), 1, 12)) AS BIGINT)
+           % {_DSIR_BUCKETS})::INT FOR x IN grams] AS bkts
+  FROM g
+), e AS (
+  SELECT doc_id, unnest(bkts) AS bucket FROM b
+), ct AS (
+  SELECT bucket, count(*) AS c FROM e
+  WHERE doc_id % {_DSIR_TARGET_MOD} = 0 GROUP BY bucket
+), cr AS (
+  SELECT bucket, count(*) AS c FROM e
+  WHERE doc_id % {_DSIR_TARGET_MOD} <> 0 GROUP BY bucket
+), tot AS (
+  SELECT (SELECT coalesce(sum(c), 0) FROM ct) AS tt,
+         (SELECT coalesce(sum(c), 0) FROM cr) AS tr
+), lr AS (
+  SELECT sp.bucket,
+         ln((coalesce(ct.c, 0) + 1) / (tot.tt + {_DSIR_BUCKETS}.0))
+           - ln((coalesce(cr.c, 0) + 1) / (tot.tr + {_DSIR_BUCKETS}.0))
+           AS logratio
+  FROM range({_DSIR_BUCKETS}) sp(bucket)
+  LEFT JOIN ct ON sp.bucket = ct.bucket
+  LEFT JOIN cr ON sp.bucket = cr.bucket
+  CROSS JOIN tot
+)
+SELECT b.doc_id,
+       len(b.bkts)::INT AS n_grams,
+       round(coalesce(sum(lr.logratio), 0), 4) AS dsir_logweight
+FROM b
+LEFT JOIN e ON b.doc_id = e.doc_id
+LEFT JOIN lr ON e.bucket = lr.bucket
+WHERE b.doc_id % {_DSIR_TARGET_MOD} <> 0
+GROUP BY b.doc_id, len(b.bkts)
+"""
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "token_jaccard_pairs": q_token_jaccard_pairs,
@@ -1809,6 +1888,7 @@ QUERIES = {
     "cluster_best_docs": q_cluster_best_docs,
     "shard_assignments": q_shard_assignments,
     "semantic_dedup_docs": q_semantic_dedup_docs,
+    "dsir_scores": q_dsir_scores,
 }
 
 ORACLES = {
@@ -1866,4 +1946,5 @@ ORACLES = {
     "cluster_best_docs": SQL_CLUSTER_BEST_DOCS,
     "shard_assignments": SQL_SHARD_ASSIGNMENTS,
     "semantic_dedup_docs": SQL_SEMANTIC_DEDUP_DOCS,
+    "dsir_scores": SQL_DSIR_SCORES,
 }

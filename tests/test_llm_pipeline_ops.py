@@ -287,3 +287,133 @@ def test_assign_shards_overflow_bounded_by_one_doc(spark):
         totals[r.shard_id] = totals.get(r.shard_id, 0) + r.n_tokens
     assert all(t <= 10 + 7 - 1 for t in totals.values())
     assert min(r.shard_id for r in rows) == 0
+
+
+# ------------------------------------------------------------------- dsir
+
+
+def _py_bucket(gram: str, buckets: int) -> int:
+    return int(hashlib.md5(gram.encode()).hexdigest()[:12], 16) % buckets
+
+
+def _py_grams(text: str) -> list:
+    toks = text.strip().split(" ")
+    bi = [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+    return toks + bi
+
+
+@pytest.fixture(scope="module")
+def dsir_corpus(spark, tmp_path_factory):
+    """Parquet-backed on purpose: the md5-bucket corruption this
+    operator works around (dsir.py docstring) only manifests over the
+    vectorized parquet reader's buffers, never over createDataFrame."""
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox sleeps under the old tree"),
+        (2, "stock market indices fell sharply on tuesday morning"),
+        (3, "the lazy dog jumps over the quick brown fox"),
+        (4, "quarterly earnings reports moved the stock market today"),
+        (5, "fox"),
+    ]
+    path = str(tmp_path_factory.mktemp("dsir") / "docs.parquet")
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(path)
+    return spark.read.parquet(path), {i: t for i, t in rows}
+
+
+def test_dsir_weights_match_python_oracle(spark, dsir_corpus):
+    """End-to-end fit + score equals a pure-python reimplementation,
+    bucket-exact (guards the parquet md5 workaround) and float-exact to
+    1e-9 (same smoothing arithmetic)."""
+    import math
+
+    from name_deduplication_python_spark.operators.dsir import (
+        dsir_weights,
+        fit_dsir_logratio,
+    )
+
+    docs, texts = dsir_corpus
+    B = 256
+    target_ids = {0, 3}
+    target = docs.where(F.col("doc_id").isin(*target_ids))
+    raw = docs.where(~F.col("doc_id").isin(*target_ids))
+
+    ct, cr = {}, {}
+    for did, text in texts.items():
+        side = ct if did in target_ids else cr
+        for g in _py_grams(text):
+            b = _py_bucket(g, B)
+            side[b] = side.get(b, 0) + 1
+    tt, tr = sum(ct.values()), sum(cr.values())
+
+    def logratio(b):
+        return math.log((ct.get(b, 0) + 1) / (tt + B)) - math.log(
+            (cr.get(b, 0) + 1) / (tr + B)
+        )
+
+    want = {}
+    for did, text in texts.items():
+        if did in target_ids:
+            continue
+        want[did] = sum(logratio(_py_bucket(g, B)) for g in _py_grams(text))
+
+    lr = fit_dsir_logratio(target, raw, buckets=B)
+    got = {
+        r.doc_id: r.dsir_logweight
+        for r in dsir_weights(raw, lr, buckets=B).collect()
+    }
+    assert set(got) == set(want)
+    for did in want:
+        assert abs(got[did] - want[did]) < 1e-9, did
+
+
+def test_dsir_target_like_docs_score_higher(spark, dsir_corpus):
+    """A raw doc sharing the target's vocabulary (doc 1, fox/quick/
+    brown) must outscore the off-distribution finance docs (2, 4)."""
+    from name_deduplication_python_spark.operators.dsir import (
+        dsir_weights,
+        fit_dsir_logratio,
+    )
+
+    docs, _ = dsir_corpus
+    target = docs.where(F.col("doc_id").isin(0, 3))
+    raw = docs.where(~F.col("doc_id").isin(0, 3))
+    lr = fit_dsir_logratio(target, raw, buckets=256)
+    w = {
+        r.doc_id: r.dsir_logweight / max(r.n_grams, 1)
+        for r in dsir_weights(raw, lr, buckets=256).collect()
+    }
+    assert w[1] > w[2] and w[1] > w[4]
+
+
+def test_dsir_sample_deterministic_gumbel_topk(spark):
+    from name_deduplication_python_spark.operators.dsir import dsir_sample
+
+    rows = [(i, float(-i)) for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "dsir_logweight"])
+    a = sorted(r.doc_id for r in dsir_sample(df, 10, seed=7).collect())
+    b = sorted(r.doc_id for r in dsir_sample(df, 10, seed=7).collect())
+    c = sorted(r.doc_id for r in dsir_sample(df, 10, seed=8).collect())
+    assert a == b and len(a) == 10          # pure function of (ids, seed)
+    assert a != c                           # seed actually matters
+    # weights dominate noise when gaps are huge: top-k by weight wins
+    big = spark.createDataFrame(
+        [(i, float(-1000 * i)) for i in range(20)],
+        ["doc_id", "dsir_logweight"],
+    )
+    sel = sorted(r.doc_id for r in dsir_sample(big, 5, seed=3).collect())
+    assert sel == [0, 1, 2, 3, 4]
+
+
+def test_dsir_scoring_plan_is_python_free_and_broadcasts(spark, dsir_corpus):
+    from name_deduplication_python_spark.operators.dsir import (
+        dsir_weights,
+        fit_dsir_logratio,
+    )
+
+    docs, _ = dsir_corpus
+    target = docs.where(F.col("doc_id").isin(0, 3))
+    raw = docs.where(~F.col("doc_id").isin(0, 3))
+    lr = fit_dsir_logratio(target, raw, buckets=64)
+    plan = _plan(dsir_weights(raw, lr, buckets=64))
+    assert not any(m in plan for m in _PY_MARKERS)
+    assert "BroadcastHashJoin" in plan      # ratio table never shuffles docs
