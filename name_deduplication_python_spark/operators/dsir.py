@@ -103,33 +103,27 @@ def hashed_gram_buckets(
     return docs.select(F.col(id_col).alias("id"), grams.alias("buckets"))
 
 
-def _bucket_counts(docs: DataFrame, **kw) -> DataFrame:
-    g = hashed_gram_buckets(docs, **kw)
+def _bucket_counts(bucket_frame: DataFrame) -> DataFrame:
     return (
-        g.select(F.explode("buckets").alias("bucket"))
+        bucket_frame.select(F.explode("buckets").alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("c"))
     )
 
 
-def fit_dsir_logratio(
-    target_docs: DataFrame,
-    raw_docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    ns: tuple[int, ...] = (1, 2),
+def fit_dsir_logratio_buckets(
+    target_buckets: DataFrame,
+    raw_buckets: DataFrame,
     buckets: int = 10_000,
 ) -> DataFrame:
-    """(bucket, logratio) over the FULL bucket spine [0, buckets):
-    logratio(b) = ln p_target(b) - ln p_raw(b) with Laplace smoothing
-    p(b) = (count_b + 1) / (total + buckets), so never-seen buckets get
-    a finite (and informative) ratio. Exactly `buckets` rows — tiny and
-    broadcastable at any corpus size; only count aggregates cross the
-    cluster to build it."""
-    spark = target_docs.sparkSession
-    kw = dict(id_col=id_col, text_col=text_col, ns=ns, buckets=buckets)
-    ct = _bucket_counts(target_docs, **kw).withColumnRenamed("c", "ct")
-    cr = _bucket_counts(raw_docs, **kw).withColumnRenamed("c", "cr")
+    """fit_dsir_logratio over PRE-FEATURIZED (id, buckets) frames —
+    the shape a pipeline should use: featurize each corpus once
+    (hashed_gram_buckets, ideally materialized/checkpointed) and feed
+    both the fit and the scoring pass from that frame, instead of
+    paying the md5 featurization twice on the 100 TB side."""
+    spark = target_buckets.sparkSession
+    ct = _bucket_counts(target_buckets).withColumnRenamed("c", "ct")
+    cr = _bucket_counts(raw_buckets).withColumnRenamed("c", "cr")
     spine = (
         spark.range(buckets)
         .select(F.col("id").cast("int").alias("bucket"))
@@ -153,6 +147,54 @@ def fit_dsir_logratio(
     )
 
 
+def fit_dsir_logratio(
+    target_docs: DataFrame,
+    raw_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ns: tuple[int, ...] = (1, 2),
+    buckets: int = 10_000,
+) -> DataFrame:
+    """(bucket, logratio) over the FULL bucket spine [0, buckets):
+    logratio(b) = ln p_target(b) - ln p_raw(b) with Laplace smoothing
+    p(b) = (count_b + 1) / (total + buckets), so never-seen buckets get
+    a finite (and informative) ratio. Exactly `buckets` rows — tiny and
+    broadcastable at any corpus size; only count aggregates cross the
+    cluster to build it. Doc-level convenience wrapper; a pipeline that
+    also scores the raw corpus should featurize once and use the
+    `_buckets` variants."""
+    kw = dict(id_col=id_col, text_col=text_col, ns=ns, buckets=buckets)
+    return fit_dsir_logratio_buckets(
+        hashed_gram_buckets(target_docs, **kw),
+        hashed_gram_buckets(raw_docs, **kw),
+        buckets=buckets,
+    )
+
+
+def dsir_weights_buckets(
+    bucket_frame: DataFrame,
+    logratio: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """dsir_weights over a PRE-FEATURIZED (id, buckets) frame — pair
+    with fit_dsir_logratio_buckets to featurize the raw corpus once."""
+    exploded = bucket_frame.select(
+        "id",
+        F.size("buckets").alias("n_grams"),
+        F.explode_outer("buckets").alias("bucket"),
+    )
+    return (
+        exploded.join(F.broadcast(logratio), "bucket", "left")
+        .groupBy("id", "n_grams")
+        .agg(F.sum("logratio").alias("_w"))
+        .select(
+            F.col("id").alias(id_col),
+            "n_grams",
+            F.coalesce("_w", F.lit(0.0)).alias("dsir_logweight"),
+        )
+    )
+
+
 def dsir_weights(
     docs: DataFrame,
     logratio: DataFrame,
@@ -169,21 +211,7 @@ def dsir_weights(
     g = hashed_gram_buckets(
         docs, id_col=id_col, text_col=text_col, ns=ns, buckets=buckets
     )
-    exploded = g.select(
-        "id",
-        F.size("buckets").alias("n_grams"),
-        F.explode_outer("buckets").alias("bucket"),
-    )
-    return (
-        exploded.join(F.broadcast(logratio), "bucket", "left")
-        .groupBy("id", "n_grams")
-        .agg(F.sum("logratio").alias("_w"))
-        .select(
-            F.col("id").alias(id_col),
-            "n_grams",
-            F.coalesce("_w", F.lit(0.0)).alias("dsir_logweight"),
-        )
-    )
+    return dsir_weights_buckets(g, logratio, id_col=id_col)
 
 
 def dsir_sample(

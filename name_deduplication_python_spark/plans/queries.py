@@ -1786,13 +1786,28 @@ _DSIR_TARGET_MOD = 17
 
 
 def q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dsir import dsir_weights, fit_dsir_logratio
+    from ..operators.dsir import (
+        dsir_weights_buckets,
+        fit_dsir_logratio_buckets,
+        hashed_gram_buckets,
+    )
 
     docs = _docs(spark, sf_dir)
     target = docs.where(F.col("doc_id") % _DSIR_TARGET_MOD == 0)
     raw = docs.where(F.col("doc_id") % _DSIR_TARGET_MOD != 0)
-    lr = fit_dsir_logratio(target, raw, buckets=_DSIR_BUCKETS)
-    w = dsir_weights(raw, lr, buckets=_DSIR_BUCKETS)
+    # featurize the raw side ONCE (it feeds both the fit counts and the
+    # scoring pass); md5 featurization dominates this query's cost, and
+    # the testdata parquet is a single small file -> single scan
+    # partition, so spread the compute before hashing (at production
+    # scale the input arrives in thousands of splits and this
+    # repartition is a no-op to remove)
+    par = spark.sparkContext.defaultParallelism
+    raw_b = hashed_gram_buckets(
+        raw.repartition(par), buckets=_DSIR_BUCKETS
+    ).localCheckpoint()
+    tgt_b = hashed_gram_buckets(target, buckets=_DSIR_BUCKETS)
+    lr = fit_dsir_logratio_buckets(tgt_b, raw_b, buckets=_DSIR_BUCKETS)
+    w = dsir_weights_buckets(raw_b, lr)
     return w.select(
         "doc_id",
         "n_grams",
