@@ -7,6 +7,7 @@ operators (no new kernels).
       -> best-quality representative    (report.best_member_per_cluster)
       -> Gopher quality filter          (text_stats.gopher_flags)
       -> eval-set decontamination       (decontaminate.flag_contaminated)
+      -> DSIR target-distribution pick  (dsir.fit/weights/sample; optional)
       -> PII scrub                      (pii.redact_documents)
       -> token-budget sample            (sampler.token_budget_sample)
       -> shard assignment               (sampler.assign_shards)
@@ -73,12 +74,19 @@ def build_training_set(
     strata_col: str = "lang",
     config: dict | None = None,
     decon_ngram: int = 13,
+    target_docs: DataFrame | None = None,
+    dsir_top_k: int | None = None,
+    dsir_buckets: int = 10_000,
 ) -> tuple[DataFrame, dict]:
     """Run the full funnel over `docs` (doc_id, text, <strata_col>).
 
     eval_docs      held-out benchmark docs (doc_id, text) to
                    decontaminate against; None skips the stage.
     budget_tokens  per-stratum token budget; None keeps everything.
+    target_docs    high-quality corpus (doc_id, text) to steer the mix
+                   toward; with dsir_top_k, keeps the k surviving docs
+                   drawn by DSIR Gumbel-top-k importance resampling
+                   (both must be set; None skips the stage).
 
     Returns (shards_df, stats): shards_df is (doc_id, <strata_col>,
     text, n_tokens, shard_id) with PII scrubbed; stats counts the
@@ -145,8 +153,35 @@ def build_training_set(
         clean = quality.join(decon.select("doc_id"), "doc_id")
     else:
         clean = quality
-    clean = clean.persist()
+    clean = clean_cached = clean.persist()
     n_clean = clean.count()  # materializes the cache: decon explode runs once
+
+    # 4b. optional DSIR selection toward a target distribution. The fit
+    # and the scoring pass each featurize from the CACHED clean frame
+    # (two map-only passes, no checkpoint pinned beyond the funnel's
+    # existing caches); the k winning ids are tiny and persisted only
+    # until the shards checkpoint below.
+    sel = None
+    n_dsir = None
+    if target_docs is not None and dsir_top_k is not None:
+        from .operators.dsir import (
+            dsir_sample,
+            dsir_weights_buckets,
+            fit_dsir_logratio_buckets,
+            hashed_gram_buckets,
+        )
+
+        clean_b = hashed_gram_buckets(clean, buckets=dsir_buckets)
+        tgt_b = hashed_gram_buckets(target_docs, buckets=dsir_buckets)
+        lr = fit_dsir_logratio_buckets(tgt_b, clean_b, buckets=dsir_buckets)
+        w = dsir_weights_buckets(clean_b, lr)
+        sel = (
+            dsir_sample(w, dsir_top_k, seed=cfg["seed"])
+            .select("doc_id")
+            .persist()
+        )
+        n_dsir = sel.count()
+        clean = clean.join(sel, "doc_id")
 
     # 5. PII scrub (map-only, fuses into the scan).
     scrubbed = redact_documents(clean).drop(
@@ -169,7 +204,9 @@ def build_training_set(
         .localCheckpoint()
     )
     reps.unpersist()
-    clean.unpersist()
+    clean_cached.unpersist()
+    if sel is not None:
+        sel.unpersist()
 
     agg = shards.agg(
         F.count("*").alias("n"),
@@ -185,4 +222,6 @@ def build_training_set(
         "n_shards": int(agg["n_shards"]),
         "total_tokens": int(agg["total_tokens"] or 0),
     }
+    if n_dsir is not None:
+        stats["n_dsir_selected"] = n_dsir
     return shards, stats

@@ -101,3 +101,33 @@ def test_funnel_drops_its_caches(spark):
     grown = sc.getPersistentRDDs().size() - before
     # exactly the checkpointed deliverable, nothing else
     assert grown <= 1, f"{grown} new RDDs pinned after funnel"
+
+
+def test_funnel_dsir_selection_prefers_target_like_docs(spark):
+    """With target_docs + dsir_top_k set, the funnel keeps the
+    surviving docs closest to the target distribution: a target-
+    vocabulary doc must win over an off-distribution doc, caches still
+    dropped."""
+    sc = spark.sparkContext._jsc.sc()
+    before = sc.getPersistentRDDs().size()
+    docs = spark.createDataFrame(
+        [
+            (1, "en", _BASE_A + "ending one"),       # target-like
+            (2, "en", _BASE_B + "ending two"),       # off-distribution
+            (3, "en", _BASE_C + "ending three"),     # off-distribution
+        ],
+        ["doc_id", "lang", "text"],
+    )
+    target = spark.createDataFrame(
+        [(200, _BASE_A + "another tail"), (201, _BASE_A + "more fox text")],
+        ["doc_id", "text"],
+    )
+    shards, stats = build_training_set(
+        spark, docs, target_docs=target, dsir_top_k=1
+    )
+    rows = shards.collect()
+    assert stats["n_dsir_selected"] == 1
+    assert stats["n_sampled"] == 1
+    assert {r.doc_id for r in rows} == {1}
+    grown = sc.getPersistentRDDs().size() - before
+    assert grown <= 1, f"{grown} new RDDs pinned after dsir funnel"
