@@ -4,8 +4,9 @@
 
 Runs the full funnel (near-dup dedup -> best-quality representative ->
 Gopher filter -> 13-gram decontamination against a held-out split ->
-PII scrub -> per-language token budget -> shard packing) over
-`documents.parquet` and prints the funnel stats plus a shard sample.
+DSIR selection toward a second held-out "target" split -> PII scrub ->
+per-language token budget -> shard packing) over `documents.parquet`
+and prints the funnel stats plus a shard sample.
 """
 
 from __future__ import annotations
@@ -26,15 +27,19 @@ def main() -> None:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "lang", "text"
     )
-    # deterministic held-out split as the "benchmark" to scrub against
+    # deterministic held-out splits: a "benchmark" to scrub against and
+    # a "target" corpus for DSIR to steer the mixture toward
     ev = docs.where(F.col("doc_id") % 23 == 0)
-    tr = docs.where(F.col("doc_id") % 23 != 0)
+    tgt = docs.where((F.col("doc_id") % 23 != 0) & (F.col("doc_id") % 19 == 0))
+    tr = docs.where((F.col("doc_id") % 23 != 0) & (F.col("doc_id") % 19 != 0))
     shards, stats = build_training_set(
         spark,
         tr,
         eval_docs=ev,
         budget_tokens=50_000,
         tokens_per_shard=10_000,
+        target_docs=tgt,
+        dsir_top_k=300,
     )
     print(stats)
     shards.orderBy("lang", "shard_id", "doc_id").show(10)

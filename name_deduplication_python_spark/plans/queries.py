@@ -1864,6 +1864,44 @@ GROUP BY b.doc_id, len(b.bkts)
 """
 
 
+# --------------------------------------------------------------------------
+# 40. dsir_sample_docs — the DSIR Gumbel-top-k sampler end-to-end: the
+#     derandomized Gumbel key (md5-derived uniform) is engine-portable
+#     arithmetic, so DuckDB replays scoring AND selection bit-exactly.
+# --------------------------------------------------------------------------
+
+_DSIR_SAMPLE_K = 100
+
+
+def q_dsir_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dsir import dsir_sample
+
+    w = q_dsir_scores(spark, sf_dir)
+    sel = dsir_sample(w, _DSIR_SAMPLE_K, seed=DEFAULT_CONFIG["seed"])
+    return sel.select(
+        "doc_id",
+        "dsir_logweight",
+        F.round("gumbel_key", 4).alias("gumbel_key"),
+    )
+
+
+SQL_DSIR_SAMPLE_DOCS = f"""
+WITH w AS ({SQL_DSIR_SCORES}),
+keyed AS (
+  SELECT doc_id, dsir_logweight,
+         dsir_logweight
+           - ln(-ln((('0x' || substr(md5(doc_id::VARCHAR || ':{DEFAULT_CONFIG["seed"]}'),
+                                     1, 12))::BIGINT + 0.5) / {float(1 << 48)}))
+           AS gk
+  FROM w
+)
+SELECT doc_id, dsir_logweight, round(gk, 4) AS gumbel_key
+FROM keyed
+ORDER BY gk DESC
+LIMIT {_DSIR_SAMPLE_K}
+"""
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "token_jaccard_pairs": q_token_jaccard_pairs,
@@ -1904,6 +1942,7 @@ QUERIES = {
     "shard_assignments": q_shard_assignments,
     "semantic_dedup_docs": q_semantic_dedup_docs,
     "dsir_scores": q_dsir_scores,
+    "dsir_sample_docs": q_dsir_sample_docs,
 }
 
 ORACLES = {
@@ -1962,4 +2001,5 @@ ORACLES = {
     "shard_assignments": SQL_SHARD_ASSIGNMENTS,
     "semantic_dedup_docs": SQL_SEMANTIC_DEDUP_DOCS,
     "dsir_scores": SQL_DSIR_SCORES,
+    "dsir_sample_docs": SQL_DSIR_SAMPLE_DOCS,
 }
