@@ -144,6 +144,141 @@ def read_table(
     return df.na.drop("all")
 
 
+def _xlsx_sheet_names(path: str) -> list[str]:
+    """Sheet names in workbook order from xl/workbook.xml (empty list if
+    the workbook part is absent — minimal writers omit it). Pairs with
+    _xlsx_rows' numeric-suffix sort: for the standard writer layout
+    sheetN.xml is the Nth listed sheet."""
+    with zipfile.ZipFile(path) as z:
+        if "xl/workbook.xml" not in z.namelist():
+            return []
+        root = ET.fromstring(z.read("xl/workbook.xml"))
+        return [s.get("name") or "" for s in root.iter(f"{_XLSX_NS}sheet")]
+
+
+_REPORT_SECTIONS = (
+    ("Officials Found", "officials"),
+    ("Linked Records", "linking"),
+    ("Duplicates Found", "dedupe"),
+)
+
+
+def load_report_sections(
+    spark: SparkSession, path: str, sheet_name: str = "Analysis Report"
+) -> dict[str, DataFrame]:
+    """S9 report re-scan (closes the SURVEY §2.1 S9 descope): parse a
+    sectioned report sheet back into DataFrames, the auditor's re-ingest
+    path (/root/reference/auditor.py:144-207: `load_report_sections` /
+    `_read_section`).
+
+    Reference semantics kept: sections start at a `--- <title> ---` row
+    in column A and are classified by title substring (Officials Found /
+    Linked Records / Duplicates Found — unknown sections skipped); the
+    next row is the header (trailing empties trimmed); data rows run
+    until a blank row or the next section marker; only non-empty
+    sections are returned, string-typed with '' for missing cells
+    (reference `fillna('')`). The sheet is resolved BY NAME via
+    xl/workbook.xml when present, erroring like the reference if the
+    named sheet is missing. Reports are driver-sized presentation
+    artifacts (the engine's own results live in stage tables — resume
+    reads those); this scan exists so desktop-tool reports remain
+    auditable inputs."""
+    names = _xlsx_sheet_names(path)
+    if names:
+        if sheet_name not in names:
+            raise ValueError(f'sheet "{sheet_name}" not found in {path}')
+        idx = names.index(sheet_name)
+    else:
+        idx = 0
+    rows = _xlsx_rows(path, idx)
+    sections: dict[str, DataFrame] = {}
+    r = 0
+    while r < len(rows):
+        first = rows[r][0] if rows[r] else ""
+        if not first.startswith("--- "):
+            r += 1
+            continue
+        key = next((k for sub, k in _REPORT_SECTIONS if sub in first), None)
+        if key is None or r + 1 >= len(rows):
+            r += 1
+            continue
+        headers = list(rows[r + 1])
+        while headers and not headers[-1].strip():
+            headers.pop()
+        cols = [h.strip() if h.strip() else f"_c{i}" for i, h in enumerate(headers)]
+        data: list[list[str]] = []
+        i = r + 2
+        while i < len(rows):
+            row = rows[i]
+            f0 = row[0] if row else ""
+            if f0.startswith("--- ") or not any(x.strip() for x in row):
+                break
+            data.append([row[c] if c < len(row) else "" for c in range(len(cols))])
+            i += 1
+        if data and cols:
+            sections[key] = spark.createDataFrame(
+                data, ", ".join(f"`{c}` string" for c in cols)
+            )
+        r = i  # blank spacer rows don't match '--- ', scanning resumes safely
+    return sections
+
+
+def read_encrypted_csv(
+    spark: SparkSession,
+    path: str,
+    key: bytes | str,
+    sep: str = ",",
+    ttl: int | None = None,
+) -> DataFrame:
+    """S3 encrypted cached CSV scan (closes the SURVEY §2.1 S3 descope).
+
+    The reference decrypts a Fernet-encrypted cache file and parses it
+    with permissive pandas CSV, all columns string
+    (/root/reference/data_utils.py:427-443: `load_raw_file`). Spark
+    shape: `binaryFile` lists/loads the files, each file's payload is
+    verified + decrypted + parsed INSIDE `mapInPandas` (Arrow batches,
+    one row per file), so a directory of encrypted caches decrypts in
+    parallel across executors. Fernet is a whole-payload MAC — per-file
+    is the finest decryption grain the format allows, which fits the
+    workload: encrypted caches are small side tables (master/officials
+    lists), not the 100 TB corpus. Schema is discovered by decrypting
+    the FIRST file on the driver (same single-file inference pass
+    `spark.read.csv(inferSchema)` performs); every file is then
+    reindexed to those columns, missing ones null — mirroring the
+    reference's single-file cache contract while tolerating ragged
+    directories. A tampered or wrong-key file fails the HMAC and raises
+    InvalidToken (never a partial parse).
+    """
+    import io
+
+    import pandas as pd
+
+    from ..functions import fernet
+
+    files = spark.read.format("binaryFile").load(path)
+    first = files.select("content").head()
+    if first is None:
+        raise ValueError(f"no files under {path}")
+
+    def _parse(content: bytes) -> pd.DataFrame:
+        text = fernet.decrypt(key, bytes(content), ttl=ttl).decode(errors="ignore")
+        return pd.read_csv(
+            io.StringIO(text), dtype=str, engine="python", on_bad_lines="warn"
+        )
+
+    cols = [str(c) for c in _parse(first["content"]).columns]
+    schema = ", ".join(f"`{c}` string" for c in cols)
+
+    def _decrypt_files(batches):
+        for pdf in batches:
+            for content in pdf["content"]:
+                out = _parse(content).reindex(columns=cols)
+                yield out.astype({c: "string" for c in cols})
+
+    df = files.select("content").mapInPandas(_decrypt_files, schema=schema)
+    return df.na.drop("all")
+
+
 def with_row_provenance(df: DataFrame, source: str) -> DataFrame:
     """C14 analog done right: typed (source, row_id) lineage columns
     instead of the reference's 'userfile {idx+2}' strings
