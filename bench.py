@@ -74,6 +74,9 @@ HEADLINE_QUERIES = [
     # + DSIR importance scores (hashed-n-gram log-ratio vs a target corpus)
     "semantic_dedup_docs",
     "dsir_scores",
+    # round-5d: NearDup train/eval decontamination (banding proposes,
+    # exact shingle-jaccard disposes; eval band keys broadcast)
+    "fuzzy_decontaminated_docs",
 ]
 
 

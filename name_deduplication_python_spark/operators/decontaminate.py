@@ -107,3 +107,90 @@ def flag_contaminated(
             ),
         )
     )
+
+
+def flag_contaminated_fuzzy(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    theta: float = 0.8,
+    hamming_radius: int | None = 3,
+    num_hashes: int = 128,
+    shingle_k: int = 5,
+    bands: int = 25,
+    rows_per_band: int = 5,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """NEAR-duplicate decontamination: flag training documents whose
+    k-shingle similarity to ANY eval document reaches theta — the fuzzy
+    complement of `flag_contaminated`'s exact 13-gram rule (Lee et al.
+    2022 §5 runs exactly this NearDup pass between train and validation
+    splits; verbatim-overlap rules miss paraphrased/partially-edited
+    benchmark leakage).
+
+    Returns (id_col, n_eval_matches, max_est_jaccard, is_contaminated)
+    covering EVERY training document (zero-match docs included, max 0.0).
+
+    Composition — the engine's own dedup spine pointed across two
+    corpora, nothing bespoke: signature_stage (JVM token hashing ->
+    zero-copy Arrow MinHash+SimHash kernel) on each side, band_keys,
+    the J3 two-table band join (eval side broadcast-hinted: a benchmark
+    suite's band keys are ~25 rows/doc over thousands of docs), then the
+    512 B estimator verify from operators/verify.py. A candidate is a
+    hit when est_jaccard >= theta OR SimHash hamming <= hamming_radius
+    (the pipeline's Fuzzy-tier semantics; pass hamming_radius=None for
+    estimator-only, the strict-precision analog). The 100 TB training
+    text is touched map-only + one band-key broadcast join + one per-doc
+    aggregate — same scale shape as flag_contaminated.
+
+    Ids are internally prefixed ("t:"/"e:") so overlapping train/eval id
+    spaces cannot self-join; the prefix never escapes the operator.
+
+    The driver query `fuzzy_decontaminated_docs` (plans/queries.py) runs
+    the same banding with EXACT shingle-Jaccard verification instead,
+    which a DuckDB brute-force oracle replays end-to-end.
+    """
+    from .lsh import band_keys, candidate_pairs_two_table
+    from .signatures import signature_stage
+    from .verify import score_pairs
+
+    def _side(docs: DataFrame, tag: str) -> DataFrame:
+        return docs.select(
+            F.concat(F.lit(tag), F.col(id_col).cast("string")).alias("_fid"),
+            F.col(text_col).alias("text"),
+        )
+
+    tr, ev = _side(train_docs, "t:"), _side(eval_docs, "e:")
+    kw = dict(num_hashes=num_hashes, shingle_k=shingle_k, seed=seed)
+    st = signature_stage(tr, id_col="_fid", **kw)
+    se = signature_stage(ev, id_col="_fid", **kw)
+    bkw = dict(id_col="_fid", bands=bands, rows_per_band=rows_per_band)
+    cands = candidate_pairs_two_table(
+        band_keys(st, **bkw), band_keys(se, **bkw).hint("broadcast"),
+        id_col="_fid",
+    )
+    scored = score_pairs(
+        cands, st.unionByName(se), id_col="_fid", num_hashes=num_hashes
+    )
+    hit = F.col("est_jaccard") >= F.lit(theta)
+    if hamming_radius is not None:
+        hit = hit | (F.col("hamming") <= F.lit(hamming_radius))
+    agg = (
+        scored.where(hit)
+        .groupBy("src")
+        .agg(
+            F.count("*").alias("_n"),
+            F.max("est_jaccard").alias("_maxj"),
+        )
+    )
+    base = train_docs.select(
+        F.col(id_col),
+        F.concat(F.lit("t:"), F.col(id_col).cast("string")).alias("src"),
+    )
+    return base.join(agg, "src", "left").select(
+        id_col,
+        F.coalesce("_n", F.lit(0)).cast("int").alias("n_eval_matches"),
+        F.round(F.coalesce("_maxj", F.lit(0.0)), 4).alias("max_est_jaccard"),
+        (F.coalesce("_n", F.lit(0)) > 0).cast("int").alias("is_contaminated"),
+    )

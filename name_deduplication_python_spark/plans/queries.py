@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from .. import DEFAULT_CONFIG
 from ..operators.components import connected_components
-from ..operators.lsh import band_keys, candidate_pairs
+from ..operators.lsh import band_keys, candidate_pairs, candidate_pairs_two_table
 from ..operators.signatures import signature_stage
 from ..operators.setsim import set_similarity_join
 from ..operators.simhash import simhash_hamming_pairs
@@ -1902,6 +1902,99 @@ LIMIT {_DSIR_SAMPLE_K}
 """
 
 
+# --------------------------------------------------------------------------
+# 41. fuzzy_decontaminated_docs — NearDup train/eval decontamination
+#     (Lee et al. 2022 §5): the engine's LSH banding proposes cross-split
+#     candidates, EXACT shingle Jaccard — SQL-expressible — disposes, so
+#     the DuckDB brute-force train x eval join is a full-value oracle
+#     (same lossless-banding argument as minhash_lsh_pairs: 25x5 misses
+#     a theta-pair w.p. ~5e-5). The ENGINE operator
+#     (decontaminate.flag_contaminated_fuzzy) verifies with the 512 B
+#     minhash estimate instead — this query pins the candidate spine and
+#     the aggregation semantics.
+# --------------------------------------------------------------------------
+
+
+def q_fuzzy_decontaminated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = DEFAULT_CONFIG
+    sigs = _doc_sigs(spark, sf_dir)
+    keys = band_keys(sigs, bands=c["bands"], rows_per_band=c["rows_per_band"])
+    ev_pred = F.col("url").cast("bigint") % _DECON_EVAL_MOD == 0
+    cands = candidate_pairs_two_table(
+        keys.where(~ev_pred), keys.where(ev_pred).hint("broadcast"),
+        id_col="url",
+    )
+    sh = _shingle_sets(_docs(spark, sf_dir))
+    a = sh.select(
+        F.col("doc_id").cast("string").alias("src"), F.col("sh").alias("sh_a")
+    )
+    b = sh.select(
+        F.col("doc_id").cast("string").alias("dst"), F.col("sh").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = F.round(
+        inter.cast("double")
+        / (F.size("sh_a") + F.size("sh_b") - inter).cast("double"),
+        6,
+    )
+    hits = (
+        cands.join(a, "src")
+        .join(b, "dst")
+        .select(F.col("src").cast("bigint").alias("doc_id"), jac.alias("j"))
+        .where(F.col("j") >= _SHINGLE_THETA)
+    )
+    agg = hits.groupBy("doc_id").agg(
+        F.count("*").alias("_n"), F.max("j").alias("_maxj")
+    )
+    base = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") % _DECON_EVAL_MOD != 0)
+        .select("doc_id")
+    )
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("_n", F.lit(0)).cast("int").alias("n_eval_matches"),
+        F.round(F.coalesce("_maxj", F.lit(0.0)), 6).alias("max_jaccard"),
+        (F.coalesce("_n", F.lit(0)) > 0).cast("int").alias("is_contaminated"),
+    )
+
+
+SQL_FUZZY_DECONTAMINATED_DOCS = f"""
+WITH t AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(toks) < {_SHINGLE_K}
+         THEN [array_to_string(toks, chr(1))]
+         ELSE [array_to_string(toks[i:i+{_SHINGLE_K - 1}], chr(1))
+               FOR i IN range(1, len(toks) - {_SHINGLE_K} + 2)]
+    END)) AS s
+  FROM t
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS src, count(*) AS inter, sa.sz AS sza, sb.sz AS szb
+  FROM sh a
+  JOIN sh b ON a.s = b.s
+  JOIN sizes sa ON sa.doc_id = a.doc_id
+  JOIN sizes sb ON sb.doc_id = b.doc_id
+  WHERE a.doc_id % {_DECON_EVAL_MOD} <> 0 AND b.doc_id % {_DECON_EVAL_MOD} = 0
+  GROUP BY a.doc_id, b.doc_id, sa.sz, sb.sz
+), hits AS (
+  SELECT src, round(inter / (sza + szb - inter), 6) AS j FROM inter
+), agg AS (
+  SELECT src, count(*) AS n, max(j) AS maxj
+  FROM hits WHERE j >= {_SHINGLE_THETA} GROUP BY src
+)
+SELECT d.doc_id,
+       coalesce(n, 0)::INT AS n_eval_matches,
+       round(coalesce(maxj, 0.0), 6) AS max_jaccard,
+       (coalesce(n, 0) > 0)::INT AS is_contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % {_DECON_EVAL_MOD} <> 0) d
+LEFT JOIN agg ON agg.src = d.doc_id
+"""
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "token_jaccard_pairs": q_token_jaccard_pairs,
@@ -1943,6 +2036,7 @@ QUERIES = {
     "semantic_dedup_docs": q_semantic_dedup_docs,
     "dsir_scores": q_dsir_scores,
     "dsir_sample_docs": q_dsir_sample_docs,
+    "fuzzy_decontaminated_docs": q_fuzzy_decontaminated_docs,
 }
 
 ORACLES = {
@@ -2002,4 +2096,5 @@ ORACLES = {
     "semantic_dedup_docs": SQL_SEMANTIC_DEDUP_DOCS,
     "dsir_scores": SQL_DSIR_SCORES,
     "dsir_sample_docs": SQL_DSIR_SAMPLE_DOCS,
+    "fuzzy_decontaminated_docs": SQL_FUZZY_DECONTAMINATED_DOCS,
 }

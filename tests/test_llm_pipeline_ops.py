@@ -417,3 +417,73 @@ def test_dsir_scoring_plan_is_python_free_and_broadcasts(spark, dsir_corpus):
     plan = _plan(dsir_weights(raw, lr, buckets=64))
     assert not any(m in plan for m in _PY_MARKERS)
     assert "BroadcastHashJoin" in plan      # ratio table never shuffles docs
+
+
+# --------------------------------------------------------------------------
+# flag_contaminated_fuzzy — NearDup train/eval decontamination
+# --------------------------------------------------------------------------
+
+
+def _words(seed: int, n: int) -> str:
+    import random
+
+    rng = random.Random(seed)
+    return " ".join(f"w{rng.randrange(5000)}" for _ in range(n))
+
+
+def test_fuzzy_decon_flags_near_and_exact_copies(spark):
+    from name_deduplication_python_spark.operators.decontaminate import (
+        flag_contaminated_fuzzy,
+    )
+
+    bench = _words(1, 300)
+    near = bench + " " + _words(2, 5)  # ~0.98 shingle jaccard
+    ev = spark.createDataFrame(
+        [(100, bench), (101, _words(3, 300))], "doc_id long, text string"
+    )
+    tr = spark.createDataFrame(
+        [(1, bench), (2, near), (3, _words(4, 300)), (4, _words(5, 300))],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_eval_matches"], r["max_est_jaccard"], r["is_contaminated"])
+        for r in flag_contaminated_fuzzy(tr, ev).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}          # EVERY train doc covered
+    assert out[1][2] == 1 and out[1][1] == 1.0   # exact copy
+    assert out[2][2] == 1 and out[2][1] >= 0.9   # near copy
+    assert out[3] == (0, 0.0, 0) and out[4] == (0, 0.0, 0)
+
+
+def test_fuzzy_decon_overlapping_id_spaces_do_not_self_join(spark):
+    """Train doc_id 7 and eval doc_id 7 are DIFFERENT documents — the
+    internal t:/e: prefix must keep them apart (no self-edge suppression
+    eating a real contamination, no spurious flag from the id collision)."""
+    from name_deduplication_python_spark.operators.decontaminate import (
+        flag_contaminated_fuzzy,
+    )
+
+    bench = _words(11, 200)
+    ev = spark.createDataFrame([(7, bench)], "doc_id long, text string")
+    tr = spark.createDataFrame(
+        [(7, _words(12, 200)), (8, bench)], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r["is_contaminated"]
+        for r in flag_contaminated_fuzzy(tr, ev).collect()
+    }
+    assert out == {7: 0, 8: 1}
+
+
+def test_fuzzy_decon_estimator_only_mode(spark):
+    """hamming_radius=None restricts hits to the estimator tier (the
+    strict-precision analog of DedupConfig.hamming_est_floor)."""
+    from name_deduplication_python_spark.operators.decontaminate import (
+        flag_contaminated_fuzzy,
+    )
+
+    bench = _words(21, 300)
+    ev = spark.createDataFrame([(0, bench)], "doc_id long, text string")
+    tr = spark.createDataFrame([(1, bench)], "doc_id long, text string")
+    out = flag_contaminated_fuzzy(tr, ev, hamming_radius=None).collect()
+    assert out[0]["is_contaminated"] == 1
