@@ -74,6 +74,7 @@ def build_training_set(
     strata_col: str = "lang",
     config: dict | None = None,
     decon_ngram: int = 13,
+    fuzzy_decon_theta: float | None = None,
     target_docs: DataFrame | None = None,
     dsir_top_k: int | None = None,
     dsir_buckets: int = 10_000,
@@ -82,6 +83,14 @@ def build_training_set(
 
     eval_docs      held-out benchmark docs (doc_id, text) to
                    decontaminate against; None skips the stage.
+    fuzzy_decon_theta  with eval_docs, ALSO drop training docs whose
+                   k-shingle similarity to any eval doc reaches this
+                   threshold (NearDup decon, Lee et al. 2022 §5 —
+                   catches paraphrased leakage the exact n-gram rule
+                   misses); None keeps the stage exact-only. Runs one
+                   extra signature pass over the quality-filtered
+                   frame; a 10^12-doc deployment reuses the staged
+                   signature table instead (DedupPipeline path).
     budget_tokens  per-stratum token budget; None keeps everything.
     target_docs    high-quality corpus (doc_id, text) to steer the mix
                    toward; with dsir_top_k, keeps the k surviving docs
@@ -151,6 +160,23 @@ def build_training_set(
             quality, eval_docs, n=decon_ngram
         ).where(F.col("is_contaminated") == 0)
         clean = quality.join(decon.select("doc_id"), "doc_id")
+        if fuzzy_decon_theta is not None:
+            from .operators.decontaminate import flag_contaminated_fuzzy
+
+            fz = flag_contaminated_fuzzy(
+                quality,
+                eval_docs,
+                theta=fuzzy_decon_theta,
+                num_hashes=cfg["num_hashes"],
+                shingle_k=cfg["shingle_k"],
+                bands=cfg["bands"],
+                rows_per_band=cfg["rows_per_band"],
+                seed=cfg["seed"],
+            )
+            clean = clean.join(
+                fz.where(F.col("is_contaminated") == 0).select("doc_id"),
+                "doc_id",
+            )
     else:
         clean = quality
     clean = clean_cached = clean.persist()

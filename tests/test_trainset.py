@@ -131,3 +131,20 @@ def test_funnel_dsir_selection_prefers_target_like_docs(spark):
     assert {r.doc_id for r in rows} == {1}
     grown = sc.getPersistentRDDs().size() - before
     assert grown <= 1, f"{grown} new RDDs pinned after dsir funnel"
+
+
+def test_funnel_fuzzy_decon_drops_paraphrase_scale_leakage(spark):
+    """With decon_ngram longer than every doc (exact stage inert), only
+    the fuzzy NearDup stage can drop the planted eval copy — proving the
+    knob adds coverage beyond verbatim n-gram overlap."""
+    docs = spark.createDataFrame(
+        [(1, "en", _BASE_A + "unique tail"), (2, "en", _BASE_B)],
+        ["doc_id", "lang", "text"],
+    )
+    ev = spark.createDataFrame([(100, _BASE_B)], ["doc_id", "text"])
+    kw = dict(eval_docs=ev, decon_ngram=2000, tokens_per_shard=10_000)
+    exact_only, s1 = build_training_set(spark, docs, **kw)
+    assert {r["doc_id"] for r in exact_only.collect()} == {1, 2}
+    fuzzy, s2 = build_training_set(spark, docs, fuzzy_decon_theta=0.8, **kw)
+    assert {r["doc_id"] for r in fuzzy.collect()} == {1}
+    assert s2["n_clean"] == s1["n_clean"] - 1
