@@ -16,10 +16,12 @@ and resample with Gumbel-top-k (adding Gumbel noise to log-weights and
 taking the k largest draws a weighted sample without replacement).
 
 Scale shape (the 100 TB plan):
-  - Bucketing uses an md5-prefix hash (first 48 bits -> % buckets), NOT
-    xxhash64: md5 is available bit-identically in every SQL engine, so
+  - Bucketing defaults to an md5-prefix hash (first 48 bits -> %
+    buckets): md5 is available bit-identically in every SQL engine, so
     the DuckDB oracle replays the bucketing exactly. It costs ~2x
-    xxhash64 on a stage that is nowhere near the bottleneck.
+    xxhash64; `hash_fn="xxh64"` is the scale setting when auditability
+    of the bucketing itself isn't required (the statistics are
+    hash-agnostic — fit and score must just agree on the hash).
   - FITTING is two map-combined count aggregations whose outputs are
     <= B rows each (B ~ 10^4) regardless of corpus size; the log-ratio
     table over the full bucket spine is exactly B rows and BROADCAST.
@@ -39,10 +41,27 @@ from pyspark.sql import functions as F
 TWO_POW_48 = float(1 << 48)
 
 
-def _bucket_expr(gram: Column, buckets: int) -> Column:
-    """Hash a gram string to [0, buckets) identically in Spark and any
-    engine with md5: int(md5(gram)[:12 hex], 16) % buckets. The 48-bit
-    prefix is non-negative, so plain % is already a floor mod."""
+def _bucket_expr(gram: Column, buckets: int, hash_fn: str = "md5") -> Column:
+    """Hash a gram string to [0, buckets).
+
+    hash_fn="md5" (default): int(md5(gram)[:12 hex], 16) % buckets —
+    replayable bit-identically in any engine with md5 (the 48-bit prefix
+    is non-negative, so plain % is already a floor mod). This is the
+    AUDITABLE setting the driver oracle runs.
+
+    hash_fn="xxh64": pmod(xxhash64(gram), buckets) — the SCALE setting:
+    measured ~15% off the whole fit+score pass at sf0.1/local[32]
+    (the hash is ~2x faster but featurization isn't hash-dominated);
+    the DSIR statistics are hash-agnostic (any uniform bucketing gives
+    the same distributional estimates up to collision noise). Fit and
+    scoring
+    MUST use the same hash_fn; the two settings produce different (both
+    valid) bucketings, so never mix them across a fit/score pair.
+    """
+    if hash_fn == "xxh64":
+        return F.pmod(F.xxhash64(gram), F.lit(buckets)).cast("int")
+    if hash_fn != "md5":
+        raise ValueError(f"hash_fn must be 'md5' or 'xxh64', got {hash_fn!r}")
     return (
         F.conv(F.substring(F.md5(gram), 1, 12), 16, 10).cast("bigint")
         % F.lit(buckets)
@@ -55,6 +74,7 @@ def hashed_gram_buckets(
     text_col: str = "text",
     ns: tuple[int, ...] = (1, 2),
     buckets: int = 10_000,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """(id, buckets array<int>) — the hashed bag of n-grams per document,
     REPEATS KEPT (DSIR features are counts, unlike decontamination's
@@ -81,7 +101,9 @@ def hashed_gram_buckets(
     parts = []
     for n in ns:
         if n == 1:
-            parts.append(F.transform(toks, lambda t: _bucket_expr(t, buckets)))
+            parts.append(
+                F.transform(toks, lambda t: _bucket_expr(t, buckets, hash_fn))
+            )
         else:
             idx = F.when(
                 F.size(toks) < n, F.array().cast("array<int>")
@@ -94,7 +116,7 @@ def hashed_gram_buckets(
                         if j:
                             pieces.append(F.lit(" "))
                         pieces.append(F.element_at(toks, i + j))
-                    return _bucket_expr(F.concat(*pieces), buckets)
+                    return _bucket_expr(F.concat(*pieces), buckets, hash_fn)
 
                 return _fn
 
@@ -154,6 +176,7 @@ def fit_dsir_logratio(
     text_col: str = "text",
     ns: tuple[int, ...] = (1, 2),
     buckets: int = 10_000,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """(bucket, logratio) over the FULL bucket spine [0, buckets):
     logratio(b) = ln p_target(b) - ln p_raw(b) with Laplace smoothing
@@ -163,7 +186,9 @@ def fit_dsir_logratio(
     cluster to build it. Doc-level convenience wrapper; a pipeline that
     also scores the raw corpus should featurize once and use the
     `_buckets` variants."""
-    kw = dict(id_col=id_col, text_col=text_col, ns=ns, buckets=buckets)
+    kw = dict(
+        id_col=id_col, text_col=text_col, ns=ns, buckets=buckets, hash_fn=hash_fn
+    )
     return fit_dsir_logratio_buckets(
         hashed_gram_buckets(target_docs, **kw),
         hashed_gram_buckets(raw_docs, **kw),
@@ -202,6 +227,7 @@ def dsir_weights(
     text_col: str = "text",
     ns: tuple[int, ...] = (1, 2),
     buckets: int = 10_000,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """(id_col, n_grams, dsir_logweight) for EVERY input document —
     log importance weight = sum of the bucket log-ratios of the doc's
@@ -209,7 +235,8 @@ def dsir_weights(
     broadcast-join -> map-combined per-doc sum; the logratio side must
     be the fit's <= buckets-row frame."""
     g = hashed_gram_buckets(
-        docs, id_col=id_col, text_col=text_col, ns=ns, buckets=buckets
+        docs, id_col=id_col, text_col=text_col, ns=ns, buckets=buckets,
+        hash_fn=hash_fn,
     )
     return dsir_weights_buckets(g, logratio, id_col=id_col)
 

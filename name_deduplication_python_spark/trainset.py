@@ -78,6 +78,7 @@ def build_training_set(
     target_docs: DataFrame | None = None,
     dsir_top_k: int | None = None,
     dsir_buckets: int = 10_000,
+    dsir_hash_fn: str = "md5",
 ) -> tuple[DataFrame, dict]:
     """Run the full funnel over `docs` (doc_id, text, <strata_col>).
 
@@ -197,8 +198,12 @@ def build_training_set(
             hashed_gram_buckets,
         )
 
-        clean_b = hashed_gram_buckets(clean, buckets=dsir_buckets)
-        tgt_b = hashed_gram_buckets(target_docs, buckets=dsir_buckets)
+        clean_b = hashed_gram_buckets(
+            clean, buckets=dsir_buckets, hash_fn=dsir_hash_fn
+        )
+        tgt_b = hashed_gram_buckets(
+            target_docs, buckets=dsir_buckets, hash_fn=dsir_hash_fn
+        )
         lr = fit_dsir_logratio_buckets(tgt_b, clean_b, buckets=dsir_buckets)
         w = dsir_weights_buckets(clean_b, lr)
         sel = (

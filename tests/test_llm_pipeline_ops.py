@@ -487,3 +487,34 @@ def test_fuzzy_decon_estimator_only_mode(spark):
     tr = spark.createDataFrame([(1, bench)], "doc_id long, text string")
     out = flag_contaminated_fuzzy(tr, ev, hamming_radius=None).collect()
     assert out[0]["is_contaminated"] == 1
+
+
+def test_dsir_xxh64_scale_hash_agrees_on_semantics(spark, dsir_corpus):
+    """hash_fn='xxh64' (scale path) must produce the same gram TOPOLOGY
+    (n_grams per doc) and the same target-affinity ordering as the
+    auditable md5 default — only the bucket assignment differs."""
+    from name_deduplication_python_spark.operators.dsir import (
+        dsir_weights,
+        fit_dsir_logratio,
+    )
+
+    docs, _ = dsir_corpus
+    target_like_id = 1  # the fox/dog-vocabulary raw doc
+    target = docs.where(F.col("doc_id").isin(0, 3))
+    raw = docs.where(~F.col("doc_id").isin(0, 3))
+    out = {}
+    for hf in ("md5", "xxh64"):
+        lr = fit_dsir_logratio(target, raw, buckets=512, hash_fn=hf)
+        w = dsir_weights(raw, lr, buckets=512, hash_fn=hf)
+        rows = {r["doc_id"]: r for r in w.collect()}
+        out[hf] = rows
+    assert {k: v["n_grams"] for k, v in out["md5"].items()} == {
+        k: v["n_grams"] for k, v in out["xxh64"].items()
+    }
+    for rows in out.values():  # target-like beats the off-target docs of
+        w = {k: v["dsir_logweight"] for k, v in rows.items()}
+        assert w[target_like_id] > w[2] and w[target_like_id] > w[4]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="hash_fn"):
+        fit_dsir_logratio(target, raw, buckets=64, hash_fn="sha1")
