@@ -518,3 +518,17 @@ def test_dsir_xxh64_scale_hash_agrees_on_semantics(spark, dsir_corpus):
 
     with _pytest.raises(ValueError, match="hash_fn"):
         fit_dsir_logratio(target, raw, buckets=64, hash_fn="sha1")
+
+
+def test_fuzzy_decon_band_join_broadcasts_eval_side(spark):
+    """The eval corpus is benchmark-sized: its band keys must reach the
+    candidate join through a BroadcastExchange (the training side's band
+    keys never shuffle on bh)."""
+    from name_deduplication_python_spark.operators.decontaminate import (
+        flag_contaminated_fuzzy,
+    )
+
+    tr = spark.createDataFrame([(1, _words(31, 60))], "doc_id long, text string")
+    ev = spark.createDataFrame([(2, _words(32, 60))], "doc_id long, text string")
+    plan = _plan(flag_contaminated_fuzzy(tr, ev))
+    assert "BroadcastHashJoin" in plan
