@@ -77,6 +77,8 @@ HEADLINE_QUERIES = [
     # round-5d: NearDup train/eval decontamination (banding proposes,
     # exact shingle-jaccard disposes; eval band keys broadcast)
     "fuzzy_decontaminated_docs",
+    # round-5e: URL filtering (map-only scoring + broadcast-anti blocklist)
+    "url_filtered_docs",
 ]
 
 

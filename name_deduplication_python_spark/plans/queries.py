@@ -1995,6 +1995,87 @@ LEFT JOIN agg ON agg.src = d.doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# 42. url_filtered_docs — RefinedWeb-style URL filtering (functions/
+#     urlfilter.py). documents carries no real URLs, so both engines
+#     synthesize the same deterministic URL per doc (digit-farm hosts,
+#     co.uk multi-part TLDs, a planted casino path, a blocklisted
+#     domain) and the survivors-with-scores table is value-compared —
+#     host parsing, public-suffix-lite domains, keyword and digit
+#     scoring, and the blocklist all replayed in DuckDB.
+# --------------------------------------------------------------------------
+
+_URLF_BLOCKLIST = ("src3.com", "src5.co.uk")
+
+
+def _synth_url() -> "F.Column":
+    did = F.col("doc_id")
+    host = (
+        F.when(did % 13 == 0, F.concat((did * 101).cast("string"), F.lit("0000.net")))
+        .when(did % 7 == 0, F.concat(F.col("source"), F.lit(".co.uk")))
+        .otherwise(F.concat(F.col("source"), F.lit(".com")))
+    )
+    path = F.when(did % 11 == 0, F.lit("/casino-bonus")).otherwise(
+        F.concat(F.lit("/p/"), did.cast("string"))
+    )
+    return F.concat(F.lit("https://"), host, path)
+
+
+def q_url_filtered_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.urlfilter import filter_urls
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", _synth_url().alias("url"))
+    kept = filter_urls(docs, blocklist=list(_URLF_BLOCKLIST), keep_flags=True)
+    return kept.select("doc_id", "host", "domain", "kw_hits", "digit_ratio", "url_len")
+
+
+from ..functions.urlfilter import BLOCK_KEYWORDS as _URLF_KWS  # noqa: E402
+from ..functions.urlfilter import MULTIPART_TLDS as _URLF_MULTI  # noqa: E402
+
+_URLF_KW_SQL = " + ".join(
+    f"(CASE WHEN lower(url) LIKE '%{k}%' THEN 1 ELSE 0 END)" for k in _URLF_KWS
+)
+_URLF_MULTI_SQL = ", ".join(f"'{t}'" for t in _URLF_MULTI)
+
+SQL_URL_FILTERED_DOCS = f"""
+WITH u AS (
+  SELECT doc_id,
+         'https://'
+         || CASE WHEN doc_id % 13 = 0 THEN (doc_id * 101)::VARCHAR || '0000.net'
+                 WHEN doc_id % 7 = 0 THEN source || '.co.uk'
+                 ELSE source || '.com' END
+         || CASE WHEN doc_id % 11 = 0 THEN '/casino-bonus'
+                 ELSE '/p/' || doc_id::VARCHAR END AS url
+  FROM documents
+), f AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url,
+           '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS host
+  FROM u
+), g AS (
+  SELECT doc_id, url, host, string_split(host, '.') AS parts FROM f
+), d AS (
+  SELECT doc_id, url, host,
+         CASE WHEN len(parts) <= 2 THEN host
+              WHEN parts[-2] || '.' || parts[-1] IN ({_URLF_MULTI_SQL})
+                   THEN parts[-3] || '.' || parts[-2] || '.' || parts[-1]
+              ELSE parts[-2] || '.' || parts[-1] END AS domain
+  FROM g
+), s AS (
+  SELECT doc_id, host, domain,
+         ({_URLF_KW_SQL})::INT AS kw_hits,
+         round(len(regexp_replace(host, '[^0-9]', '', 'g'))
+               / greatest(len(host), 1), 4) AS digit_ratio,
+         len(url)::INT AS url_len
+  FROM d
+)
+SELECT doc_id, host, domain, kw_hits, digit_ratio, url_len
+FROM s
+WHERE kw_hits <= 0 AND digit_ratio <= 0.5 AND url_len <= 2048
+  AND domain NOT IN ('src3.com', 'src5.co.uk')
+"""
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "token_jaccard_pairs": q_token_jaccard_pairs,
@@ -2037,6 +2118,7 @@ QUERIES = {
     "dsir_scores": q_dsir_scores,
     "dsir_sample_docs": q_dsir_sample_docs,
     "fuzzy_decontaminated_docs": q_fuzzy_decontaminated_docs,
+    "url_filtered_docs": q_url_filtered_docs,
 }
 
 ORACLES = {
@@ -2097,4 +2179,5 @@ ORACLES = {
     "dsir_scores": SQL_DSIR_SCORES,
     "dsir_sample_docs": SQL_DSIR_SAMPLE_DOCS,
     "fuzzy_decontaminated_docs": SQL_FUZZY_DECONTAMINATED_DOCS,
+    "url_filtered_docs": SQL_URL_FILTERED_DOCS,
 }
