@@ -10,6 +10,8 @@ oracles can mirror them exactly (plans/queries.py uses the same rules).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -141,3 +143,71 @@ def filter_documents(df, text_col: str = "text"):
     pipeline-facing form of gopher_flags (pure filter, pushes down past
     column pruning; no shuffle)."""
     return df.where(gopher_flags(F.col(text_col))["passes_gopher"] == 1)
+
+
+# C4's page-level blockers (Raffel et al. 2020 §2.2): the published
+# pipeline uses the full "bad words" blocklist; the rule (word-boundary
+# match anywhere on the lowercased page) is what matters — this default
+# carries a small spam-marker subset and is configurable.
+C4_BADWORDS = ("porn", "xxx", "viagra", "casino bonus")
+
+
+def c4_clean_cols(
+    c, min_words_per_line: int = 5, badwords: tuple = C4_BADWORDS
+) -> dict[str, Column]:
+    """C4-style cleaning (Raffel et al. 2020 §2.2 — the closed,
+    SQL-mirrorable subset): line-level filtering REWRITES the document,
+    page-level rules flag it.
+
+    Line rules (a line survives iff all hold): ends in a terminal
+    punctuation mark (. ! ? optionally followed by a closing quote),
+    has >= min_words_per_line whitespace words, and does not contain
+    the word 'javascript' (case-insensitive). Page rules: >= 3
+    sentences IN THE RETAINED TEXT (sentence = terminal-mark count),
+    no 'lorem ipsum', no curly brace, no blocklist word (word-boundary,
+    lowercased). The three-sentence-span dedup step of the paper is the
+    span-removal operator's job (operators/substring.dedup_spans), not
+    repeated here.
+
+    All native Columns — one codegen stage, no shuffle, no UDF; every
+    rule mirrors 1:1 into DuckDB (plans/queries.SQL_C4_CLEAN_DOCS)."""
+    lines = F.split(c, "\n")
+    kept = F.filter(
+        lines,
+        lambda l: l.rlike('[.!?]["\']? *$')
+        & (F.size(F.split(F.trim(l), r"\s+")) >= min_words_per_line)
+        & ~F.lower(l).contains("javascript"),
+    )
+    clean = F.array_join(kept, "\n")
+    n_kept = F.size(kept)
+    n_sentences = F.size(F.split(clean, "[.!?]")) - 1
+    low = F.lower(c)
+    has_lorem = low.contains("lorem ipsum")
+    has_brace = c.contains("{")
+    bad_re = "|".join(re.escape(b) for b in badwords)
+    has_bad = low.rlike(rf"\b({bad_re})\b")
+    passes = (
+        (n_sentences >= 3) & ~has_lorem & ~has_brace & ~has_bad
+    )
+    return {
+        "clean_text": clean,
+        "n_lines_kept": n_kept,
+        "n_lines_dropped": F.size(lines) - n_kept,
+        "n_sentences": n_sentences,
+        "has_lorem_ipsum": has_lorem.cast("int"),
+        "has_brace": has_brace.cast("int"),
+        "has_badword": has_bad.cast("int"),
+        "passes_c4": passes.cast("int"),
+    }
+
+
+def c4_clean_documents(df, text_col: str = "text", min_words_per_line: int = 5):
+    """Pipeline form: drop failing pages, replace text with the
+    line-filtered rewrite (map-only; the filter pushes down)."""
+    cols = c4_clean_cols(F.col(text_col), min_words_per_line)
+    return (
+        df.withColumn("_c4_pass", cols["passes_c4"])
+        .where(F.col("_c4_pass") == 1)
+        .withColumn(text_col, cols["clean_text"])
+        .drop("_c4_pass")
+    )

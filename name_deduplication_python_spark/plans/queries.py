@@ -1504,6 +1504,90 @@ FROM s
 
 
 # --------------------------------------------------------------------------
+# C4-style cleaning (Raffel et al. 2020 §2.2, closed SQL-mirrorable
+# subset) — line filtering REWRITES the text, page rules flag it;
+# functions.text_stats.c4_clean_cols holds the single rule definition,
+# c4_clean_documents is the pipeline form. (The paper's three-sentence-
+# span dedup is operators/substring.dedup_spans — see span_removed_docs.)
+# --------------------------------------------------------------------------
+
+
+def q_c4_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sf corpus is a single-line punctuation-free word stream, so
+    the query first derives a deterministic line-structured page per doc
+    (sentence breaks regexp-inserted at ' the '/' a ' boundaries; lorem/
+    brace+javascript/badword markers planted by doc_id residue) — the
+    identical derivation runs in the oracle, and every C4 rule fires on
+    real variety instead of degenerating to 500 empty rewrites."""
+    from ..functions.text_stats import c4_clean_cols
+
+    d = F.col("doc_id")
+    page = F.concat(
+        F.regexp_replace(F.col("text"), " (the|a) ", ".\n"),
+        F.when(d % 17 == 0, F.lit("\nlorem ipsum dolor sit amet here today."))
+        .otherwise(F.lit("")),
+        F.when(d % 13 == 0, F.lit("\nvar x = { javascript object };"))
+        .otherwise(F.lit("")),
+        F.when(d % 19 == 0, F.lit("\nwatch free xxx content now here."))
+        .otherwise(F.lit("")),
+    )
+    cols = c4_clean_cols(page)
+    return _docs(spark, sf_dir).select(
+        "doc_id", *[c.alias(name) for name, c in cols.items()]
+    )
+
+
+# badword alternation mirrored verbatim from text_stats.C4_BADWORDS;
+# coalesce('') because DuckDB's array_to_string of an empty list is NULL
+# while Spark's array_join is ''
+SQL_C4_CLEAN_DOCS = r"""
+WITH p AS (
+  SELECT doc_id,
+         regexp_replace(text, ' (the|a) ', '.' || chr(10), 'g')
+         || CASE WHEN doc_id % 17 = 0
+                 THEN chr(10) || 'lorem ipsum dolor sit amet here today.'
+                 ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN chr(10) || 'var x = { javascript object };'
+                 ELSE '' END
+         || CASE WHEN doc_id % 19 = 0
+                 THEN chr(10) || 'watch free xxx content now here.'
+                 ELSE '' END AS text
+  FROM documents
+), t AS (
+  SELECT doc_id, text, string_split(text, chr(10)) AS lines
+  FROM p
+), k AS (
+  SELECT doc_id, text, len(lines) AS n_lines,
+         list_filter(lines, l ->
+             regexp_matches(l, '[.!?]["'']? *$')
+             AND len(regexp_split_to_array(trim(l), '\s+')) >= 5
+             AND NOT contains(lower(l), 'javascript')) AS kept
+  FROM t
+), s AS (
+  SELECT doc_id, text, n_lines, kept,
+         coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+  FROM k
+)
+SELECT doc_id,
+       clean_text,
+       len(kept) AS n_lines_kept,
+       n_lines - len(kept) AS n_lines_dropped,
+       len(regexp_split_to_array(clean_text, '[.!?]')) - 1 AS n_sentences,
+       contains(lower(text), 'lorem ipsum')::INT AS has_lorem_ipsum,
+       contains(text, '{')::INT AS has_brace,
+       regexp_matches(lower(text), '\b(porn|xxx|viagra|casino\ bonus)\b')::INT
+         AS has_badword,
+       (len(regexp_split_to_array(clean_text, '[.!?]')) - 1 >= 3
+        AND NOT contains(lower(text), 'lorem ipsum')
+        AND NOT contains(text, '{')
+        AND NOT regexp_matches(lower(text), '\b(porn|xxx|viagra|casino\ bonus)\b')
+       )::INT AS passes_c4
+FROM s
+"""
+
+
+# --------------------------------------------------------------------------
 # Eval-set decontamination (Brown et al. 2020 Appendix C, 13-gram rule)
 # over a deterministic in-table eval split (doc_id % 23 == 0) — see
 # operators/decontaminate.py for the broadcast scale shape.
@@ -2109,6 +2193,7 @@ QUERIES = {
     "top_ngrams": q_top_ngrams,
     "span_removed_docs": q_span_removed_docs,
     "gopher_quality_flags": q_gopher_quality_flags,
+    "c4_clean_docs": q_c4_clean_docs,
     "decontaminated_docs": q_decontaminated_docs,
     "pii_redacted_docs": q_pii_redacted_docs,
     "token_budget_sample": q_token_budget_sample,
@@ -2166,6 +2251,7 @@ ORACLES = {
     # independent DuckDB interval-merge + string_agg implementation
     "span_removed_docs": SQL_SPAN_REMOVED_DOCS,
     "gopher_quality_flags": SQL_GOPHER_QUALITY_FLAGS,
+    "c4_clean_docs": SQL_C4_CLEAN_DOCS,
     # round-5b: decontamination counts distinct xxhash64 gram hashes on
     # the Spark side vs distinct gram strings in the oracle — equal
     # unless a 64-bit collision lands inside one document's gram set

@@ -367,3 +367,125 @@ def test_gopher_flags_plan_is_python_free(spark):
     )
     for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
         assert marker not in plan, plan
+
+
+def test_c4_line_rules_rewrite_document(spark):
+    """C4 line filter (Raffel et al. 2020 §2.2): a line survives iff it
+    ends in terminal punctuation, has >= 5 words, and lacks
+    'javascript'; the document text is REWRITTEN to the kept lines."""
+    import pandas as pd
+
+    from name_deduplication_python_spark.functions.text_stats import (
+        c4_clean_cols,
+    )
+
+    text = "\n".join(
+        [
+            "this line ends with a period and stays here.",  # kept
+            "short line stays not.",                         # <5 words
+            "no terminal punctuation on this line at all",   # no punct
+            "this javascript line would otherwise be kept.", # javascript
+            'he said "it ends in a quote after punctuation."',  # kept
+            "does this question line survive the filter?",   # kept
+        ]
+    )
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": [text]}))
+    row = df.select(
+        *[v.alias(k) for k, v in c4_clean_cols(F.col("text")).items()]
+    ).collect()[0]
+    assert row.clean_text.split("\n") == [
+        "this line ends with a period and stays here.",
+        'he said "it ends in a quote after punctuation."',
+        "does this question line survive the filter?",
+    ]
+    assert row.n_lines_kept == 3 and row.n_lines_dropped == 3
+    assert row.n_sentences == 3
+    assert row.passes_c4 == 1
+
+
+def test_c4_page_blockers(spark):
+    """Page-level rules: lorem ipsum, curly brace, badword, and the
+    three-sentence floor each fail the document independently."""
+    import pandas as pd
+
+    from name_deduplication_python_spark.functions.text_stats import (
+        c4_clean_cols, c4_clean_documents,
+    )
+
+    good = "\n".join(["a good line with five words here."] * 4)
+    rows = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                good,
+                good + "\nsome Lorem Ipsum filler text",
+                good + "\nconfig = { key: value }",
+                good + "\nbuy cheap viagra online now",
+                "only two sentences on this page. second one right here.",
+            ],
+        }
+    )
+    df = spark.createDataFrame(rows)
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            *[v.alias(k) for k, v in c4_clean_cols(F.col("text")).items()],
+        ).collect()
+    }
+    assert out[1].passes_c4 == 1
+    assert out[2].has_lorem_ipsum == 1 and out[2].passes_c4 == 0
+    assert out[3].has_brace == 1 and out[3].passes_c4 == 0
+    assert out[4].has_badword == 1 and out[4].passes_c4 == 0
+    assert out[5].n_sentences == 2 and out[5].passes_c4 == 0
+    kept = c4_clean_documents(df).collect()
+    assert [r.doc_id for r in kept] == [1]
+    assert kept[0].text == good  # rewrite preserved the clean lines
+
+
+def test_c4_badword_is_word_boundary(spark):
+    """'xxx' must match as a word, not as a substring of a legitimate
+    token (the blocklist rule is word-boundary on the lowercased page)."""
+    import pandas as pd
+
+    from name_deduplication_python_spark.functions.text_stats import (
+        c4_clean_cols,
+    )
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [
+                "the maxxxed out word here is fine and stays okay.",
+                "but xxx alone on the page is not fine at all.",
+            ],
+        }
+    )
+    df = spark.createDataFrame(rows)
+    out = {
+        r.doc_id: r.has_badword
+        for r in df.select(
+            "doc_id",
+            *[v.alias(k) for k, v in c4_clean_cols(F.col("text")).items()],
+        ).collect()
+    }
+    assert out == {1: 0, 2: 1}
+
+
+def test_c4_plan_is_python_free(spark):
+    """The cleaner runs over every document — it must stay inside
+    whole-stage codegen with no Python evaluation node."""
+    import pandas as pd
+
+    from name_deduplication_python_spark.functions.text_stats import (
+        c4_clean_documents,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["five words end in period."]})
+    )
+    plan = (
+        c4_clean_documents(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in plan, plan
