@@ -5,6 +5,7 @@ operators (no new kernels).
     raw documents
       -> near-duplicate clustering      (signatures -> LSH -> verify -> CC)
       -> best-quality representative    (report.best_member_per_cluster)
+      -> C4 line-filter rewrite         (text_stats.c4_clean_documents; optional)
       -> Gopher quality filter          (text_stats.gopher_flags)
       -> eval-set decontamination       (decontaminate.flag_contaminated)
       -> DSIR target-distribution pick  (dsir.fit/weights/sample; optional)
@@ -30,7 +31,7 @@ from pyspark.sql import functions as F
 
 from . import DEFAULT_CONFIG
 from .functions.pii import redact_documents
-from .functions.text_stats import gopher_flags
+from .functions.text_stats import c4_clean_documents, gopher_flags
 from .operators.components import components_with_singletons
 from .operators.decontaminate import flag_contaminated
 from .operators.lsh import band_keys, candidate_pairs
@@ -79,6 +80,7 @@ def build_training_set(
     dsir_top_k: int | None = None,
     dsir_buckets: int = 10_000,
     dsir_hash_fn: str = "md5",
+    c4_clean: bool = False,
 ) -> tuple[DataFrame, dict]:
     """Run the full funnel over `docs` (doc_id, text, <strata_col>).
 
@@ -147,6 +149,13 @@ def build_training_set(
         reps.select(F.col("rep_doc_id").alias("doc_id")), "doc_id"
     )
     n_clusters = reps.count()  # materializes the cache: spine runs once
+
+    # 2b. optional C4 cleaning — line-filter rewrite + page blockers
+    # (Raffel et al. 2020) BEFORE the Gopher stats, so the quality
+    # conjunction judges the retained text, not the boilerplate. Both
+    # stages fuse into the same map-only codegen stage over survivors.
+    if c4_clean:
+        survivors = c4_clean_documents(survivors)
 
     # 3. Gopher quality filter.
     flags = gopher_flags(F.col("text"))

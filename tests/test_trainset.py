@@ -148,3 +148,33 @@ def test_funnel_fuzzy_decon_drops_paraphrase_scale_leakage(spark):
     fuzzy, s2 = build_training_set(spark, docs, fuzzy_decon_theta=0.8, **kw)
     assert {r["doc_id"] for r in fuzzy.collect()} == {1}
     assert s2["n_clean"] == s1["n_clean"] - 1
+
+
+def test_funnel_c4_clean_stage(spark):
+    """c4_clean=True rewrites boilerplate lines out of survivors before
+    the Gopher stats and drops page-blocker docs that would otherwise
+    pass (a brace-laden page is Gopher-clean but C4-dirty)."""
+    # disjoint vocabularies so the dedup spine keeps all three docs
+    line_a = "the quick brown fox jumps over the lazy dog and runs home."
+    line_b = "a tall ship sails across the cold grey sea to the harbor."
+    line_c = "deep in the old stone castle a keeper guards the dusty maps."
+    good = "\n".join([line_a] * 8)
+    braced = "\n".join([line_b] * 8) + "\nconfig = { key: value }"
+    clean_c = "\n".join([line_c] * 8)
+    boiler = clean_c + "\nclick here\nmenu\nlogin"  # droppable lines
+    docs = spark.createDataFrame(
+        [(1, "en", good), (2, "en", braced), (3, "en", boiler)],
+        ["doc_id", "lang", "text"],
+    )
+    shards, stats = build_training_set(
+        spark, docs, tokens_per_shard=500, c4_clean=True
+    )
+    rows = {r.doc_id: r for r in shards.collect()}
+    assert 2 not in rows  # brace page blocked by C4
+    assert set(rows) == {1, 3}
+    # the boilerplate lines were rewritten away before sharding
+    assert "click here" not in rows[3].text
+    assert rows[3].text == clean_c
+    # control: without the stage, the braced doc sails through
+    shards2, _ = build_training_set(spark, docs, tokens_per_shard=500)
+    assert 2 in {r.doc_id for r in shards2.collect()}
