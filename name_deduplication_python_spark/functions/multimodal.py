@@ -4,7 +4,9 @@ frame-sample operators.
 
 The Spark-side contract (schemas, partitioning, UDF signatures, batch
 shapes) is real and tested. Codecs: uncompressed BMP (8-bit palette /
-24-bit) and RIFF PCM WAV (8/16/32-bit) decode for REAL in strict mode
+24-bit), non-interlaced 8-bit PNG (gray/RGB/palette/alpha; zlib
+inflate + full RFC 2083 filter reconstruction), and RIFF PCM WAV
+(8/16/32-bit) decode for REAL in strict mode
 via stdlib+numpy parsers — tested through the distributed path on known
 pixels/samples; other image/audio formats and video remain STUBBED
 (libraries not in this container) as
@@ -18,6 +20,7 @@ signatures stay identical.
 from __future__ import annotations
 
 import hashlib
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -90,14 +93,106 @@ def _decode_bmp(content: bytes) -> np.ndarray:
     return gray[::-1] if bottom_up else gray
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_luma(r: np.ndarray, g: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return (
+        (r.astype(np.uint32) * 299 + g.astype(np.uint32) * 587 + b.astype(np.uint32) * 114)
+        // 1000
+    ).astype(np.uint8)
+
+
+def _decode_png(content: bytes) -> np.ndarray:
+    """Pure-stdlib/numpy decoder for non-interlaced 8-bit-depth PNG
+    (grayscale / RGB / palette / gray+alpha / RGBA — the common web
+    cases): zlib-inflated IDAT + full filter reconstruction (None/Sub/
+    Up/Average/Paeth, RFC 2083 §6). Returns the same (h, w) uint8
+    grayscale contract as the BMP path (ITU-R 601 luma for color;
+    alpha ignored). Filters 0/2 reconstruct vectorized; 1/3/4 need the
+    per-pixel left-neighbor recurrence (O(pixels) Python — fine for the
+    in-container test path; a production cluster swaps in PIL here).
+    16-bit depth and interlacing raise NotImplementedError."""
+    if content[:8] != _PNG_SIG:
+        raise ValueError("not a PNG stream")
+    pos, idat, plte = 8, [], None
+    w = h = depth = color = interlace = None
+    while pos + 8 <= len(content):
+        ln = int.from_bytes(content[pos : pos + 4], "big")
+        typ = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + crc
+        if typ == b"IHDR":
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            depth, color, interlace = data[8], data[9], data[12]
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    if depth != 8 or interlace != 0:
+        raise NotImplementedError(
+            f"PNG variant not supported (bit depth {depth}, interlace {interlace})"
+        )
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None or (color == 3 and plte is None):
+        raise ValueError(f"bad PNG color type {color}")
+    stride = w * channels
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    arr = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    filters, data = arr[:, 0], arr[:, 1:]
+    out = np.zeros((h, stride), np.int32)
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        f = int(filters[y])
+        rec = data[y].astype(np.int32)
+        if f == 0:
+            pass
+        elif f == 2:  # Up
+            rec = (rec + prev) & 255
+        elif f in (1, 3, 4):
+            for x in range(stride):
+                a = rec[x - channels] if x >= channels else 0
+                if f == 1:  # Sub
+                    pred = a
+                elif f == 3:  # Average
+                    pred = (a + prev[x]) >> 1
+                else:  # Paeth
+                    b = prev[x]
+                    c = prev[x - channels] if x >= channels else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                rec[x] = (rec[x] + pred) & 255
+        else:
+            raise ValueError(f"bad PNG filter type {f} on row {y}")
+        out[y] = rec
+        prev = rec
+    px = out.astype(np.uint8).reshape(h, w, channels)
+    if color == 3:
+        rgb = plte[px[..., 0]]
+        return _png_luma(rgb[..., 0], rgb[..., 1], rgb[..., 2])
+    if channels >= 3:  # PNG stores R,G,B[,A]
+        return _png_luma(px[..., 0], px[..., 1], px[..., 2])
+    return px[..., 0]  # grayscale (alpha channel, if any, ignored)
+
+
 def _decode_image_real(content: bytes) -> np.ndarray:
-    """Real decoder slot: BMP decodes natively (stdlib+numpy, above);
-    other formats need PIL/libjpeg on a real cluster — the plumbing is
-    codec-agnostic, only this dispatch grows."""
+    """Real decoder slot: BMP and PNG decode natively (stdlib+numpy,
+    above); other formats need PIL/libjpeg on a real cluster — the
+    plumbing is codec-agnostic, only this dispatch grows."""
     if content[:2] == b"BM":
         return _decode_bmp(content)
+    if content[:8] == _PNG_SIG:
+        return _decode_png(content)
     raise NotImplementedError(
-        "only BMP decodes in-container; install pillow and extend "
+        "only BMP/PNG decode in-container; install pillow and extend "
         "_decode_image_real for other formats (plumbing is codec-agnostic)"
     )
 

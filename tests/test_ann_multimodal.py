@@ -388,3 +388,142 @@ def test_semantic_dedup_closed_form_rule(spark):
     assert out[0] == 1                        # min id of its family kept
     assert out[1] == 0 and out[2] == 0 and out[10] == 0
     assert out[20] == 1                       # orthogonal singleton kept
+
+
+def _png(rows_px, color_type, filters, plte=None):
+    """Independent minimal PNG encoder for the tests: applies the RFC 2083
+    FORWARD filter per row (the decoder must invert it exactly), real
+    CRCs, one zlib IDAT."""
+    import struct
+    import zlib as z
+
+    from name_deduplication_python_spark.functions.multimodal import _PNG_SIG
+
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    h, w = len(rows_px), len(rows_px[0])
+
+    def chunk(typ, data):
+        return (
+            len(data).to_bytes(4, "big") + typ + data
+            + z.crc32(typ + data).to_bytes(4, "big")
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b""
+    prev = [0] * (w * channels)
+    for y, row in enumerate(rows_px):
+        flat = []
+        for px in row:
+            flat.extend(px if isinstance(px, (tuple, list)) else (px,))
+        f = filters[y]
+        filt = []
+        for x, v in enumerate(flat):
+            a = flat[x - channels] if x >= channels else 0
+            b = prev[x]
+            c = prev[x - channels] if x >= channels else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            filt.append((v - pred) & 255)
+        raw += bytes([f]) + bytes(filt)
+        prev = flat
+    out = _PNG_SIG + chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += chunk(b"PLTE", bytes(plte))
+    return out + chunk(b"IDAT", z.compress(raw)) + chunk(b"IEND", b"")
+
+
+def test_image_features_strict_decodes_real_png(spark):
+    """Strict mode decodes a REAL RGB PNG whose five rows exercise every
+    filter type (None/Sub/Up/Average/Paeth) through the DISTRIBUTED
+    image_features path; identity-size resize must reproduce the ITU-R
+    601 luma of the planted pixels exactly."""
+    rows = [
+        [(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+        [(10, 20, 30), (40, 50, 60), (70, 80, 90)],
+        [(200, 200, 200), (100, 100, 100), (0, 0, 0)],
+        [(1, 2, 3), (254, 253, 252), (128, 128, 128)],
+        [(255, 255, 255), (0, 0, 0), (77, 66, 55)],
+    ]
+    content = _png(rows, color_type=2, filters=[0, 1, 2, 3, 4])
+    media = spark.createDataFrame(
+        [("png1", "image/png", content, 3, 5, None)], MEDIA_SCHEMA
+    )
+    out = image_features(media, target=(3, 5), strict=True).toPandas()
+    assert len(out) == 1
+    want = [
+        (299 * r + 587 * g + 114 * b) // 1000
+        for row in rows
+        for (r, g, b) in row
+    ]
+    got = [round(v * 255) for v in out.iloc[0]["feat"]]
+    assert got == want, (got, want)
+
+
+def test_decode_png_gray_palette_rgba():
+    """Grayscale passes through; palette indexes resolve through PLTE
+    luma; RGBA ignores alpha (unit level — the distributed path is
+    format-agnostic past _decode_image_real)."""
+    from name_deduplication_python_spark.functions.multimodal import _decode_png
+
+    gray = _png([[0, 128, 255]], color_type=0, filters=[0])
+    assert _decode_png(gray).tolist() == [[0, 128, 255]]
+
+    # palette: index 0 -> black, 1 -> pure red (luma 76)
+    pal = (0, 0, 0, 255, 0, 0)
+    idx = _png([[0, 1, 0]], color_type=3, filters=[1], plte=pal)
+    assert _decode_png(idx).tolist() == [[0, 76, 0]]
+
+    rgba = _png(
+        [[(255, 0, 0, 0), (0, 255, 0, 255)]], color_type=6, filters=[4]
+    )
+    assert _decode_png(rgba).tolist() == [[76, 149]]
+
+
+def test_decode_png_rejects_unsupported_variants():
+    """16-bit depth and interlaced PNGs raise NotImplementedError (the
+    documented PIL-on-cluster boundary); truncated payloads fail loud."""
+    import struct
+    import zlib as z
+
+    import pytest
+
+    from name_deduplication_python_spark.functions.multimodal import (
+        _PNG_SIG, _decode_png,
+    )
+
+    def chunk(typ, data):
+        return (
+            len(data).to_bytes(4, "big") + typ + data
+            + z.crc32(typ + data).to_bytes(4, "big")
+        )
+
+    deep = (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0))
+        + chunk(b"IDAT", z.compress(b"\x00\x00\x00"))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError):
+        _decode_png(deep)
+
+    good = _png([[7]], color_type=0, filters=[0])
+    # corrupt the scanline payload: drop the last IDAT source byte
+    bad = (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", z.compress(b"\x00\x07"))  # 1 filter + 1 px, need 2
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        _decode_png(bad)
+    assert _decode_png(good).tolist() == [[7]]
