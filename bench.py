@@ -79,6 +79,8 @@ HEADLINE_QUERIES = [
     "fuzzy_decontaminated_docs",
     # round-5e: URL filtering (map-only scoring + broadcast-anti blocklist)
     "url_filtered_docs",
+    # round-5f: C4 line-filter rewrite + page blockers (single codegen stage)
+    "c4_clean_docs",
 ]
 
 
