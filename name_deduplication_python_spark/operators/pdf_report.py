@@ -204,8 +204,11 @@ def export_pdf_report(
         header = list(df.columns)
         collected = df.limit(section_limit + 1).collect()
         trunc = len(collected) > section_limit
+        # newlines inside a cell are legal in a PDF literal string but
+        # break the one-row-per-line table layout — flatten to spaces
         rows = [
-            ["" if v is None else str(v) for v in r] for r in collected[:section_limit]
+            ["" if v is None else str(v).replace("\n", " ") for v in r]
+            for r in collected[:section_limit]
         ]
         lines = _table_lines(rows, header)
         if trunc:
