@@ -119,24 +119,26 @@ def tiered_dedup(
         cached.append(cur)
         stats["semantic_n_out"] = n = cur.count()
 
-    # rewrite tiers: document set is now final — rewrite survivors only
+    # rewrite tiers: document set is now final — rewrite survivors only.
+    # Each rewrite involves a shuffle (line/span grouping), so persist
+    # before the stats count or the next consumer re-runs it.
     if "lines" in tiers:
-        before = F.col(text_col)
         rewritten = dedup_lines(
             cur, id_col=id_col, text_col=text_col, out_col="_t2"
-        )
+        ).persist()
+        cached.append(rewritten)
         stats["lines_n_rewritten"] = rewritten.where(
-            F.col("_t2") != before
+            F.col("_t2") != F.col(text_col)
         ).count()
         cur = rewritten.withColumn(text_col, F.col("_t2")).drop("_t2")
 
     if "spans" in tiers:
-        before = F.col(text_col)
         rewritten = dedup_spans(
             cur, id_col=id_col, text_col=text_col, out_col="_t3"
-        )
+        ).persist()
+        cached.append(rewritten)
         stats["spans_n_rewritten"] = rewritten.where(
-            F.col("_t3") != before
+            F.col("_t3") != F.col(text_col)
         ).count()
         cur = rewritten.withColumn(text_col, F.col("_t3")).drop("_t3")
 
