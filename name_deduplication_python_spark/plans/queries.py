@@ -1588,6 +1588,65 @@ FROM s
 
 
 # --------------------------------------------------------------------------
+# CCNet-style line-level boilerplate dedup (operators/linededup) as a
+# driver query — exact mode (line strings as keys) so the whole rewrite
+# is SQL. Pages derive multi-line structure from the single-line corpus
+# (same regexp derivation as c4_clean_docs) plus planted footer lines
+# repeated across documents; the oracle replays split -> repeated-line
+# table (distinct-doc count >= 2, blanks never boilerplate) -> ordered
+# rebuild, empty-string for fully-boilerplate docs.
+# --------------------------------------------------------------------------
+
+
+def q_line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.linededup import dedup_lines
+
+    d = F.col("doc_id")
+    page = F.concat(
+        F.regexp_replace(F.col("text"), " (the|a) ", "\n"),
+        F.lit("\nshared footer boilerplate appears on every page"),
+        F.when(d % 2 == 0, F.lit("\neven page promo banner text"))
+        .otherwise(F.lit("")),
+    )
+    pages = _docs(spark, sf_dir).select("doc_id", page.alias("text"))
+    out = dedup_lines(
+        pages, id_col="doc_id", text_col="text", exact=True, out_col="text_dedup"
+    )
+    return out.select("doc_id", "text_dedup")
+
+
+SQL_LINE_DEDUP_DOCS = r"""
+WITH p AS (
+  SELECT doc_id,
+         regexp_replace(text, ' (the|a) ', chr(10), 'g')
+         || chr(10) || 'shared footer boilerplate appears on every page'
+         || CASE WHEN doc_id % 2 = 0
+                 THEN chr(10) || 'even page promo banner text'
+                 ELSE '' END AS text
+  FROM documents
+), t AS (
+  SELECT doc_id, string_split(text, chr(10)) AS lines FROM p
+), x AS (
+  SELECT doc_id,
+         unnest([{'pos': i, 'line': lines[i]}
+                 FOR i IN range(1, len(lines) + 1)], recursive := true)
+  FROM t
+), rep AS (
+  SELECT line FROM x WHERE trim(line) <> ''
+  GROUP BY line HAVING count(DISTINCT doc_id) >= 2
+), kept AS (
+  SELECT doc_id, pos, line FROM x
+  WHERE line NOT IN (SELECT line FROM rep)
+), o AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_dedup
+  FROM kept GROUP BY doc_id
+)
+SELECT p.doc_id AS doc_id, coalesce(o.text_dedup, '') AS text_dedup
+FROM p LEFT JOIN o ON p.doc_id = o.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Eval-set decontamination (Brown et al. 2020 Appendix C, 13-gram rule)
 # over a deterministic in-table eval split (doc_id % 23 == 0) — see
 # operators/decontaminate.py for the broadcast scale shape.
@@ -2194,6 +2253,7 @@ QUERIES = {
     "span_removed_docs": q_span_removed_docs,
     "gopher_quality_flags": q_gopher_quality_flags,
     "c4_clean_docs": q_c4_clean_docs,
+    "line_dedup_docs": q_line_dedup_docs,
     "decontaminated_docs": q_decontaminated_docs,
     "pii_redacted_docs": q_pii_redacted_docs,
     "token_budget_sample": q_token_budget_sample,
@@ -2252,6 +2312,7 @@ ORACLES = {
     "span_removed_docs": SQL_SPAN_REMOVED_DOCS,
     "gopher_quality_flags": SQL_GOPHER_QUALITY_FLAGS,
     "c4_clean_docs": SQL_C4_CLEAN_DOCS,
+    "line_dedup_docs": SQL_LINE_DEDUP_DOCS,
     # round-5b: decontamination counts distinct xxhash64 gram hashes on
     # the Spark side vs distinct gram strings in the oracle — equal
     # unless a 64-bit collision lands inside one document's gram set
