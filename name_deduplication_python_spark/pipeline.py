@@ -664,3 +664,31 @@ class DedupPipeline:
             .collect()[0]
         )
         return {k: int(v) for k, v in agg.asDict().items()}
+
+    def export_pdf(self, pdf_path: str, sample_rows: int = 500) -> str:
+        """S6+S7 presentation pair in one call (the reference's
+        analysis_engine report -> excel_converter PDF hand-off): render
+        the run's Dashboard (summary counters), a User File Data sample
+        (clusters stage, min-url-first), and the Analysis Report
+        (dup-cluster members) into one PDF via the native writer
+        (operators/pdf_report). Driver-bounded by sample_rows per
+        section; the stage tables remain the full result."""
+        from .operators.pdf_report import dashboard_df, export_pdf_report
+
+        clusters = self._read_stage("clusters")
+        sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("sz"))
+        dups = (
+            clusters.join(sizes.where(F.col("sz") > 1), "cluster_id")
+            .orderBy("cluster_id", "url")
+            .select("cluster_id", "url", "sz")
+        )
+        return export_pdf_report(
+            [
+                ("Dashboard", dashboard_df(self.spark, self.summary())),
+                ("User File Data", clusters.orderBy("url")),
+                ("Analysis Report", dups),
+            ],
+            pdf_path,
+            title=f"Dedup run {os.path.basename(self.workdir)}",
+            section_limit=sample_rows,
+        )

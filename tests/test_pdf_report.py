@@ -100,3 +100,27 @@ def test_multipage_and_truncation(spark, tmp_path):
     # Dashboard still fits one page: exactly one landscape page before
     # the first portrait page
     assert b"[0 0 792 612]" in pages[0] and b"[0 0 612 792]" in pages[1]
+
+
+def test_pipeline_export_pdf(spark, tmp_path):
+    """DedupPipeline.export_pdf renders the run's three sections off the
+    real clusters stage table."""
+    import re
+
+    from name_deduplication_python_spark.pipeline import (
+        DedupConfig, DedupPipeline,
+    )
+    from name_deduplication_python_spark.sources.corpus import (
+        corpus_to_spark, generate_corpus,
+    )
+
+    pages, _ = generate_corpus(n_base=40, seed=7)
+    pipe = DedupPipeline(spark, str(tmp_path / "wd"), DedupConfig())
+    pipe.run(corpus_to_spark(spark, pages))
+    path = pipe.export_pdf(str(tmp_path / "run.pdf"), sample_rows=100)
+    data = open(path, "rb").read()
+    assert data.startswith(b"%PDF-1.4") and data.rstrip().endswith(b"%%EOF")
+    text = _decoded_text(data)
+    for expected in (b"Dashboard", b"n_clusters", b"Analysis Report"):
+        assert expected in text
+    assert len(re.findall(rb"/Type /Page /Parent", data)) >= 3
