@@ -51,6 +51,15 @@ AUDIO_FEATURES_DDL = (
 )
 
 
+def _luma601(r: np.ndarray, g: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """ITU-R 601 integer luma — the single grayscale contract every
+    image codec (BMP, PNG) maps color pixels through."""
+    return (
+        (r.astype(np.uint32) * 299 + g.astype(np.uint32) * 587 + b.astype(np.uint32) * 114)
+        // 1000
+    ).astype(np.uint8)
+
+
 def _decode_bmp(content: bytes) -> np.ndarray:
     """Pure-stdlib/numpy decoder for uncompressed 8-bit-palette and 24-bit
     BMP (VERDICT r4 #6: one REAL codec so strict mode is exercisable
@@ -75,32 +84,19 @@ def _decode_bmp(content: bytes) -> np.ndarray:
         content, np.uint8, count=row_bytes * h, offset=data_off
     ).reshape(h, row_bytes)
 
-    def luma(b, g, r):
-        return (
-            (r.astype(np.uint32) * 299 + g.astype(np.uint32) * 587 + b.astype(np.uint32) * 114)
-            // 1000
-        ).astype(np.uint8)
-
     if bpp == 24:
         px = raw[:, : w * 3].reshape(h, w, 3)  # stored B,G,R
-        gray = luma(px[..., 0], px[..., 1], px[..., 2])
+        gray = _luma601(px[..., 2], px[..., 1], px[..., 0])
     else:
         n_colors = int.from_bytes(content[46:50], "little") or 256
         pal = np.frombuffer(
             content, np.uint8, count=n_colors * 4, offset=14 + hdr_size
         ).reshape(-1, 4)  # B,G,R,reserved
-        gray = luma(pal[:, 0], pal[:, 1], pal[:, 2])[raw[:, :w]]
+        gray = _luma601(pal[:, 2], pal[:, 1], pal[:, 0])[raw[:, :w]]
     return gray[::-1] if bottom_up else gray
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-
-
-def _png_luma(r: np.ndarray, g: np.ndarray, b: np.ndarray) -> np.ndarray:
-    return (
-        (r.astype(np.uint32) * 299 + g.astype(np.uint32) * 587 + b.astype(np.uint32) * 114)
-        // 1000
-    ).astype(np.uint8)
 
 
 def _decode_png(content: bytes) -> np.ndarray:
@@ -177,9 +173,9 @@ def _decode_png(content: bytes) -> np.ndarray:
     px = out.astype(np.uint8).reshape(h, w, channels)
     if color == 3:
         rgb = plte[px[..., 0]]
-        return _png_luma(rgb[..., 0], rgb[..., 1], rgb[..., 2])
+        return _luma601(rgb[..., 0], rgb[..., 1], rgb[..., 2])
     if channels >= 3:  # PNG stores R,G,B[,A]
-        return _png_luma(px[..., 0], px[..., 1], px[..., 2])
+        return _luma601(px[..., 0], px[..., 1], px[..., 2])
     return px[..., 0]  # grayscale (alpha channel, if any, ignored)
 
 

@@ -170,11 +170,15 @@ def c4_clean_cols(
     repeated here.
 
     All native Columns — one codegen stage, no shuffle, no UDF; every
-    rule mirrors 1:1 into DuckDB (plans/queries.SQL_C4_CLEAN_DOCS)."""
-    lines = F.split(c, "\n")
+    rule mirrors 1:1 into DuckDB (plans/queries.SQL_C4_CLEAN_DOCS).
+    Line split is '\\r?\\n' and the terminal-punctuation anchor is \\z
+    (true end-of-string) so CRLF corpora clean identically on Spark
+    (Java regex, where a bare $ would match before a trailing \\r) and
+    in the RE2 oracle."""
+    lines = F.split(c, r"\r?\n")
     kept = F.filter(
         lines,
-        lambda l: l.rlike('[.!?]["\']? *$')
+        lambda l: l.rlike('[.!?]["\']? *\\z')
         & (F.size(F.split(F.trim(l), r"\s+")) >= min_words_per_line)
         & ~F.lower(l).contains("javascript"),
     )
@@ -201,10 +205,17 @@ def c4_clean_cols(
     }
 
 
-def c4_clean_documents(df, text_col: str = "text", min_words_per_line: int = 5):
+def c4_clean_documents(
+    df,
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    badwords: tuple = C4_BADWORDS,
+):
     """Pipeline form: drop failing pages, replace text with the
-    line-filtered rewrite (map-only; the filter pushes down)."""
-    cols = c4_clean_cols(F.col(text_col), min_words_per_line)
+    line-filtered rewrite (map-only; the filter pushes down). badwords
+    swaps in a real blocklist (the default is a small spam-marker
+    subset)."""
+    cols = c4_clean_cols(F.col(text_col), min_words_per_line, badwords)
     return (
         df.withColumn("_c4_pass", cols["passes_c4"])
         .where(F.col("_c4_pass") == 1)

@@ -96,8 +96,11 @@ def _paginate(
         font -= 0.5
     pages = []
     body = clipped if clipped else [""]
-    if fit_one_page:
-        body = body[:max_lines]
+    if fit_one_page and len(body) > max_lines:
+        # disclose the clip like the section_limit footer does — a
+        # fit-to-one-page section must not LOOK complete when it isn't
+        n_cut = len(body) - (max_lines - 1)
+        body = body[: max_lines - 1] + [f"... {n_cut} more rows clipped to fit page"]
     for i in range(0, len(body), max_lines):
         head = title if i == 0 else f"{title} (cont.)"
         pages.append((size, font, [head, ""] + body[i : i + max_lines]))

@@ -1555,7 +1555,7 @@ WITH p AS (
                  ELSE '' END AS text
   FROM documents
 ), t AS (
-  SELECT doc_id, text, string_split(text, chr(10)) AS lines
+  SELECT doc_id, text, regexp_split_to_array(text, '\r?\n') AS lines
   FROM p
 ), k AS (
   SELECT doc_id, text, len(lines) AS n_lines,

@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from . import DEFAULT_CONFIG
 from .operators.linededup import dedup_lines
 from .operators.substring import dedup_spans
-from .trainset import _near_dup_clusters
+from .trainset import near_dup_clusters
 
 TIER_ORDER = ("exact", "near", "semantic", "lines", "spans")
 
@@ -94,7 +94,7 @@ def tiered_dedup(
 
     if "near" in tiers:
         spine = cur.select(F.col(id_col).alias("url"), F.col(text_col).alias("text"))
-        clusters = _near_dup_clusters(spine, cfg)
+        clusters = near_dup_clusters(spine, cfg)
         groups = clusters.select(
             F.col("url").alias(id_col), F.col("cluster_id").alias("gid")
         )
@@ -111,11 +111,19 @@ def tiered_dedup(
             vec_col=vec_col,
             n_lists=n_lists,
             seed=cfg["seed"],
-        )
-        kept = semantic_dedup(
+        ).persist()  # coverage count + prune lineage share one pass
+        cached.append(assigned)
+        # drop ONLY documents the prune explicitly rejected: a doc with
+        # no embedding row never reaches `assigned`, cannot be judged,
+        # and must survive this tier (a semi join on kept ids would
+        # silently delete every uncovered doc and misattribute the loss
+        # to semantic dedup). Coverage is reported so a thin embeddings
+        # table is visible in the stats.
+        dropped = semantic_dedup(
             assigned, id_col=id_col, cos_threshold=cos_threshold
-        ).where(F.col("is_kept") == 1)
-        cur = cur.join(kept.select(id_col), id_col, "semi").persist()
+        ).where(F.col("is_kept") == 0)
+        stats["semantic_n_covered"] = assigned.count()
+        cur = cur.join(dropped.select(id_col), id_col, "left_anti").persist()
         cached.append(cur)
         stats["semantic_n_out"] = n = cur.count()
 

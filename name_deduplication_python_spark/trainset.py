@@ -41,9 +41,10 @@ from .operators.signatures import signature_stage
 from .operators.verify import verify_stage
 
 
-def _near_dup_clusters(docs: DataFrame, cfg: dict) -> DataFrame:
+def near_dup_clusters(docs: DataFrame, cfg: dict) -> DataFrame:
     """(url, cluster_id) over (url, text) docs at the engine config —
-    the same spine as DedupPipeline, unstaged."""
+    the same spine as DedupPipeline, unstaged. Public: the funnel here
+    and tiers.tiered_dedup both build on it."""
     sigs = signature_stage(
         docs,
         num_hashes=cfg["num_hashes"],
@@ -81,6 +82,7 @@ def build_training_set(
     dsir_buckets: int = 10_000,
     dsir_hash_fn: str = "md5",
     c4_clean: bool = False,
+    c4_badwords: tuple | None = None,
 ) -> tuple[DataFrame, dict]:
     """Run the full funnel over `docs` (doc_id, text, <strata_col>).
 
@@ -130,7 +132,7 @@ def build_training_set(
     spine = base.select(
         F.col("doc_id").cast("string").alias("url"), "text"
     )
-    clusters = _near_dup_clusters(spine, cfg)
+    clusters = near_dup_clusters(spine, cfg)
     alpha = F.round(
         F.length(F.regexp_replace("text", "[^a-z]", ""))
         / F.greatest(F.length("text"), F.lit(1)),
@@ -153,9 +155,16 @@ def build_training_set(
     # 2b. optional C4 cleaning — line-filter rewrite + page blockers
     # (Raffel et al. 2020) BEFORE the Gopher stats, so the quality
     # conjunction judges the retained text, not the boilerplate. Both
-    # stages fuse into the same map-only codegen stage over survivors.
+    # stages fuse into the same map-only codegen stage over survivors;
+    # the n_c4 counter is the stage's own funnel number (one extra
+    # count action, only when the stage is on — same contract as the
+    # fuzzy-decon and DSIR counters). c4_badwords swaps in a real
+    # blocklist (default: text_stats.C4_BADWORDS spam markers).
+    n_c4 = None
     if c4_clean:
-        survivors = c4_clean_documents(survivors)
+        kwargs = {} if c4_badwords is None else {"badwords": tuple(c4_badwords)}
+        survivors = c4_clean_documents(survivors, **kwargs)
+        n_c4 = survivors.count()
 
     # 3. Gopher quality filter.
     flags = gopher_flags(F.col("text"))
@@ -256,6 +265,7 @@ def build_training_set(
     stats = {
         "n_input": n_input,
         "n_clusters": n_clusters,
+        **({} if n_c4 is None else {"n_c4": n_c4}),
         "n_quality": n_quality,
         "n_clean": n_clean,
         "n_sampled": int(agg["n"]),

@@ -124,3 +124,18 @@ def test_pipeline_export_pdf(spark, tmp_path):
     for expected in (b"Dashboard", b"n_clusters", b"Analysis Report"):
         assert expected in text
     assert len(re.findall(rb"/Type /Page /Parent", data)) >= 3
+
+
+def test_fit_one_page_clip_is_disclosed(spark, tmp_path):
+    """A fit-to-one-page section that cannot fit even at the font floor
+    discloses the clip with a footer instead of silently truncating."""
+    big = spark.createDataFrame(
+        [(f"metric_{i:03d}", str(i)) for i in range(300)],
+        "metric string, value string",
+    )
+    path = str(tmp_path / "clip.pdf")
+    export_pdf_report([("Dashboard", big)], path)
+    data = open(path, "rb").read()
+    assert len(_pages(data)) == 1
+    text = _decoded_text(data)
+    assert b"more rows clipped to fit page" in text

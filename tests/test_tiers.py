@@ -103,3 +103,27 @@ def test_bad_arguments_fail_loud(spark):
         tiered_dedup(docs, tiers=("exact", "fuzzy"))
     with pytest.raises(ValueError, match="embeddings"):
         tiered_dedup(docs, tiers=("semantic",))
+
+
+def test_semantic_tier_keeps_docs_without_embeddings(spark):
+    """A document with no embedding row cannot be judged by the semantic
+    prune and must SURVIVE the tier (not be silently dropped by a
+    kept-ids join); coverage is reported in the stats."""
+    docs = spark.createDataFrame(
+        [(f"u{i}", f"text body number {i} all different words") for i in range(4)],
+        "url string, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            ("u0", [1.0, 0.0, 0.0]),
+            ("u1", [0.999, 0.04, 0.0]),  # duplicate of u0 -> dropped
+            # u2, u3 uncovered
+        ],
+        "url string, embedding array<double>",
+    )
+    survivors, stats = tiered_dedup(
+        docs, tiers=("semantic",), embeddings=emb, n_lists=1
+    )
+    assert {r.url for r in survivors.collect()} == {"u0", "u2", "u3"}
+    assert stats["semantic_n_covered"] == 2
+    assert stats["semantic_n_out"] == 3

@@ -178,3 +178,27 @@ def test_funnel_c4_clean_stage(spark):
     # control: without the stage, the braced doc sails through
     shards2, _ = build_training_set(spark, docs, tokens_per_shard=500)
     assert 2 in {r.doc_id for r in shards2.collect()}
+
+
+def test_funnel_c4_stats_and_badwords_plumb(spark):
+    """The C4 stage records its own funnel counter (n_c4) and a caller-
+    supplied blocklist reaches the page-blocker rule."""
+    line = "the quick brown fox jumps over the lazy dog and runs home."
+    clean = "\n".join([line] * 8)
+    flagged = "\n".join(
+        ["a gray wolf walks across the frozen lake toward the woods."] * 8
+    ) + "\nthe forbiddenword appears on this page here today."
+    docs = spark.createDataFrame(
+        [(1, "en", clean), (2, "en", flagged)], ["doc_id", "lang", "text"]
+    )
+    shards, stats = build_training_set(
+        spark, docs, tokens_per_shard=500,
+        c4_clean=True, c4_badwords=("forbiddenword",),
+    )
+    assert stats["n_c4"] == 1            # the flagged page dropped by C4
+    assert {r.doc_id for r in shards.collect()} == {1}
+    # control: default blocklist doesn't know the word -> both survive
+    _, stats2 = build_training_set(
+        spark, docs, tokens_per_shard=500, c4_clean=True
+    )
+    assert stats2["n_c4"] == 2
