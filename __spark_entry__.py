@@ -4,13 +4,14 @@ entry(spark)  — flagship near-dup clustering over sf0.001 documents.
 queries()     — operator inventory per SURVEY.md §2 (see
                 name_deduplication_python_spark/plans/queries.py; each
                 query documents its reference-operator analog).
-oracle_sql()  — DuckDB-runnable ANSI SQL for every query: 27/27 carry an
-                oracle. simhash_near_pairs (kernel 64-bit simhash, not
-                SQL-reproducible) materializes its signature table to a
-                parquet view the oracle brute-forces via read_parquet,
-                so the banding+verify logic — the silently-lossy part —
-                is driver-checked; the kernel itself stays
-                bit-identity-gated in pytest (tests/test_signatures.py).
+oracle_sql()  — DuckDB-runnable ANSI SQL for every query: 44/44 carry an
+                oracle. simhash_near_pairs / span_removed_docs /
+                semantic_dedup_docs (kernel halves not SQL-reproducible)
+                materialize their kernel tables to atomically-swapped
+                parquet views the oracle reads via read_parquet, so the
+                lossy banding/verify/prune logic is driver-checked; the
+                kernels stay bit-identity-gated in pytest
+                (tests/test_signatures.py etc.).
 """
 
 from __future__ import annotations
