@@ -81,6 +81,8 @@ HEADLINE_QUERIES = [
     "url_filtered_docs",
     # round-5f: C4 line-filter rewrite + page blockers (single codegen stage)
     "c4_clean_docs",
+    # round-5g: CCNet LM-perplexity quality scores (broadcast bucket LM)
+    "ccnet_lm_ppl",
 ]
 
 

@@ -2219,6 +2219,72 @@ WHERE kw_hits <= 0 AND digit_ratio <= 0.5 AND url_len <= 2048
 """
 
 
+# --------------------------------------------------------------------------
+# 45. ccnet_lm_ppl — CCNet-style LM-perplexity quality scores (Wenzek
+#     et al. 2020, arXiv:1911.00359) over the documents table: fit a
+#     Laplace-smoothed hashed-unigram LM on a trusted slice (every 17th
+#     doc — the same stand-in the DSIR query uses for its target
+#     corpus), then score EVERY document with the natural-log
+#     perplexity exponent  log_ppl = -(1/n) sum ln p(token).
+#     Fully end-to-end oracle-able: the bucketing is the DSIR
+#     md5-prefix hash DuckDB replays bit-identically, and the smoothed
+#     LM is a closed-form count table. Tier assignment (head/middle/
+#     tail percentile split) is percentile-sketch-based and therefore
+#     pytest-proven, not oracled — see operators/lm_quality.ppl_tiers.
+# --------------------------------------------------------------------------
+
+_LMQ_BUCKETS = 4096
+_LMQ_REF_MOD = 17
+
+
+def q_ccnet_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.lm_quality import fit_bucket_lm, lm_log_ppl
+
+    docs = _docs(spark, sf_dir)
+    ref = docs.where(F.col("doc_id") % _LMQ_REF_MOD == 0)
+    lm = fit_bucket_lm(ref, buckets=_LMQ_BUCKETS)
+    # spread the single small testdata split before the md5 featurize
+    # (same rationale as q_dsir_scores: at production scale the input
+    # arrives pre-split and this repartition is a no-op to remove)
+    par = spark.sparkContext.defaultParallelism
+    scored = lm_log_ppl(docs.repartition(par), lm, buckets=_LMQ_BUCKETS)
+    return scored.select(
+        "doc_id", "n_tokens", F.round("log_ppl", 4).alias("log_ppl")
+    )
+
+
+SQL_CCNET_LM_PPL = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+), b AS (
+  SELECT doc_id,
+         [(cast(('0x' || substr(md5(x), 1, 12)) AS BIGINT)
+           % {_LMQ_BUCKETS})::INT FOR x IN toks] AS bkts
+  FROM tok
+), e AS (
+  SELECT doc_id, unnest(bkts) AS bucket FROM b
+), ct AS (
+  SELECT bucket, count(*) AS c FROM e
+  WHERE doc_id % {_LMQ_REF_MOD} = 0 GROUP BY bucket
+), tot AS (
+  SELECT coalesce(sum(c), 0) AS t FROM ct
+), lm AS (
+  SELECT sp.bucket,
+         ln((coalesce(ct.c, 0) + 1) / (tot.t + {_LMQ_BUCKETS}.0)) AS logp
+  FROM range({_LMQ_BUCKETS}) sp(bucket)
+  LEFT JOIN ct ON sp.bucket = ct.bucket
+  CROSS JOIN tot
+)
+SELECT b.doc_id,
+       len(b.bkts)::INT AS n_tokens,
+       round(-sum(lm.logp) / len(b.bkts), 4) AS log_ppl
+FROM b
+LEFT JOIN e ON b.doc_id = e.doc_id
+LEFT JOIN lm ON e.bucket = lm.bucket
+GROUP BY b.doc_id, len(b.bkts)
+"""
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "token_jaccard_pairs": q_token_jaccard_pairs,
@@ -2264,6 +2330,7 @@ QUERIES = {
     "dsir_sample_docs": q_dsir_sample_docs,
     "fuzzy_decontaminated_docs": q_fuzzy_decontaminated_docs,
     "url_filtered_docs": q_url_filtered_docs,
+    "ccnet_lm_ppl": q_ccnet_lm_ppl,
 }
 
 ORACLES = {
@@ -2327,4 +2394,5 @@ ORACLES = {
     "dsir_sample_docs": SQL_DSIR_SAMPLE_DOCS,
     "fuzzy_decontaminated_docs": SQL_FUZZY_DECONTAMINATED_DOCS,
     "url_filtered_docs": SQL_URL_FILTERED_DOCS,
+    "ccnet_lm_ppl": SQL_CCNET_LM_PPL,
 }

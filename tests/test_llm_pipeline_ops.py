@@ -532,3 +532,125 @@ def test_fuzzy_decon_band_join_broadcasts_eval_side(spark):
     ev = spark.createDataFrame([(2, _words(32, 60))], "doc_id long, text string")
     plan = _plan(flag_contaminated_fuzzy(tr, ev))
     assert "BroadcastHashJoin" in plan
+
+
+# --------------------------------------------------------------------------
+# lm_quality — CCNet-style LM perplexity scoring + head/middle/tail tiers
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def lmq_corpus(spark):
+    # trusted-looking prose (repeating a small clean vocabulary) vs
+    # junk docs drawn from a huge vocabulary the LM never saw
+    clean_vocab = ["the", "cat", "sat", "on", "a", "mat", "and", "dog"]
+    rows = []
+    for i in range(60):
+        rows.append((i, " ".join(clean_vocab[(i + j) % 8] for j in range(30))))
+    for i in range(60, 80):
+        rows.append((i, " ".join(f"zq{i}_{j}" for j in range(30))))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_lm_ppl_junk_scores_higher_than_clean(spark, lmq_corpus):
+    from name_deduplication_python_spark.operators.lm_quality import (
+        fit_bucket_lm,
+        lm_log_ppl,
+    )
+
+    ref = lmq_corpus.where(F.col("doc_id") < 30)
+    lm = fit_bucket_lm(ref, buckets=256)
+    scored = lm_log_ppl(lmq_corpus, lm, buckets=256).toPandas()
+    clean = scored[scored.doc_id < 60].log_ppl
+    junk = scored[scored.doc_id >= 60].log_ppl
+    assert clean.max() < junk.min()
+    # every document scored, token counts carried through
+    assert len(scored) == 80
+    assert (scored.n_tokens == 30).all()
+
+
+def test_lm_ppl_matches_python_oracle(spark, lmq_corpus):
+    import math
+
+    from name_deduplication_python_spark.operators.lm_quality import (
+        fit_bucket_lm,
+        lm_log_ppl,
+    )
+
+    B = 128
+    ref = lmq_corpus.where(F.col("doc_id") < 30)
+    lm = fit_bucket_lm(ref, buckets=B)
+    got = (
+        lm_log_ppl(lmq_corpus, lm, buckets=B)
+        .toPandas()
+        .set_index("doc_id")
+        .log_ppl.to_dict()
+    )
+
+    def bucket(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:12], 16) % B
+
+    texts = dict(lmq_corpus.collect())
+    counts: dict[int, int] = {}
+    for i, t in texts.items():
+        if i < 30:
+            for tok in t.strip().split(" "):
+                b = bucket(tok)
+                counts[b] = counts.get(b, 0) + 1
+    total = sum(counts.values())
+    for i, t in texts.items():
+        toks = t.strip().split(" ")
+        want = -sum(
+            math.log((counts.get(bucket(tok), 0) + 1) / (total + B))
+            for tok in toks
+        ) / len(toks)
+        assert abs(got[i] - want) < 1e-9, i
+
+
+def test_ppl_tiers_split_and_order(spark, lmq_corpus):
+    from name_deduplication_python_spark.operators.lm_quality import (
+        fit_bucket_lm,
+        lm_log_ppl,
+        ppl_tiers,
+    )
+
+    ref = lmq_corpus.where(F.col("doc_id") < 30)
+    lm = fit_bucket_lm(ref, buckets=256)
+    scored = lm_log_ppl(lmq_corpus, lm, buckets=256)
+    tiers = ppl_tiers(scored).toPandas()
+    assert set(tiers.tier) == {"head", "middle", "tail"}
+    # tier boundaries respect the score order: max(head) <= min(middle)
+    # <= ... (strict on this corpus where scores are distinct per group)
+    assert (
+        tiers[tiers.tier == "head"].log_ppl.max()
+        <= tiers[tiers.tier == "middle"].log_ppl.min()
+    )
+    assert (
+        tiers[tiers.tier == "middle"].log_ppl.max()
+        <= tiers[tiers.tier == "tail"].log_ppl.min()
+    )
+    # all junk docs land in the tail on this planted corpus
+    assert (tiers[tiers.doc_id >= 60].tier == "tail").all()
+
+
+def test_lm_scoring_plan_is_python_free_and_broadcasts(spark, lmq_corpus):
+    from name_deduplication_python_spark.operators.lm_quality import (
+        fit_bucket_lm,
+        lm_log_ppl,
+    )
+
+    ref = lmq_corpus.where(F.col("doc_id") < 30)
+    lm = fit_bucket_lm(ref, buckets=256)
+    plan = _plan(lm_log_ppl(lmq_corpus, lm, buckets=256))
+    assert not any(m in plan for m in _PY_MARKERS)
+    assert "BroadcastHashJoin" in plan  # B-row LM never shuffles the docs
+
+
+def test_ppl_tiers_rejects_bad_fractions(spark, lmq_corpus):
+    from name_deduplication_python_spark.operators.lm_quality import ppl_tiers
+
+    scored = lmq_corpus.select("doc_id", F.lit(1.0).alias("log_ppl"))
+    with pytest.raises(ValueError):
+        ppl_tiers(scored, head_frac=0.6, tail_frac=0.5)
+    with pytest.raises(ValueError):
+        ppl_tiers(scored, head_frac=0.0)
