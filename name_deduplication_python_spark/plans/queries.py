@@ -2285,6 +2285,59 @@ GROUP BY b.doc_id, len(b.bkts)
 """
 
 
+# --------------------------------------------------------------------------
+# 46. bloom_new_docs — distributed Bloom-filter membership prefilter
+#     (operators/bloom.py): build the filter over a "seen" history
+#     slice (doc_id % 3 != 0) and probe EVERY document; maybe_seen=0
+#     is exact (definitely new — the crawl-frontier / incremental-dedup
+#     fast path skips the store join), maybe_seen=1 is probabilistic at
+#     the configured fpr. Bucketing is the md5-prefix hash, so DuckDB
+#     replays every bit position exactly; the oracle models the filter
+#     as the set of set positions (bit-for-bit the same semantics —
+#     DuckDB raises on the 1<<63 word packing, which the hashlib pytest
+#     covers instead).
+# --------------------------------------------------------------------------
+
+_BLOOM_BITS = 65536
+_BLOOM_K = 7
+_BLOOM_HIST_MOD = 3
+
+
+def q_bloom_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bloom import bloom_build, bloom_maybe_contains
+
+    docs = _docs(spark, sf_dir)
+    hist = docs.where(F.col("doc_id") % _BLOOM_HIST_MOD != 0).select("text")
+    bloom = bloom_build(hist, "text", n_bits=_BLOOM_BITS, k=_BLOOM_K)
+    probed = bloom_maybe_contains(
+        docs.select("doc_id", "text"), "text", bloom,
+        n_bits=_BLOOM_BITS, k=_BLOOM_K,
+    )
+    return probed.select(
+        "doc_id", F.col("maybe_seen").cast("int").alias("maybe_seen")
+    )
+
+
+SQL_BLOOM_NEW_DOCS = f"""
+WITH hp AS (
+  SELECT DISTINCT
+         (cast(('0x' || substr(md5(text || '#b' || i::VARCHAR), 1, 12))
+          AS BIGINT) % {_BLOOM_BITS}) AS pos
+  FROM documents, range({_BLOOM_K}) r(i)
+  WHERE doc_id % {_BLOOM_HIST_MOD} <> 0
+), bp AS (
+  SELECT doc_id,
+         (cast(('0x' || substr(md5(text || '#b' || i::VARCHAR), 1, 12))
+          AS BIGINT) % {_BLOOM_BITS}) AS pos
+  FROM documents, range({_BLOOM_K}) r(i)
+)
+SELECT bp.doc_id,
+       bool_and(hp.pos IS NOT NULL)::INT AS maybe_seen
+FROM bp LEFT JOIN hp ON bp.pos = hp.pos
+GROUP BY bp.doc_id
+"""
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "token_jaccard_pairs": q_token_jaccard_pairs,
@@ -2331,6 +2384,7 @@ QUERIES = {
     "fuzzy_decontaminated_docs": q_fuzzy_decontaminated_docs,
     "url_filtered_docs": q_url_filtered_docs,
     "ccnet_lm_ppl": q_ccnet_lm_ppl,
+    "bloom_new_docs": q_bloom_new_docs,
 }
 
 ORACLES = {
@@ -2395,4 +2449,5 @@ ORACLES = {
     "fuzzy_decontaminated_docs": SQL_FUZZY_DECONTAMINATED_DOCS,
     "url_filtered_docs": SQL_URL_FILTERED_DOCS,
     "ccnet_lm_ppl": SQL_CCNET_LM_PPL,
+    "bloom_new_docs": SQL_BLOOM_NEW_DOCS,
 }

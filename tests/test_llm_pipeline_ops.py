@@ -654,3 +654,121 @@ def test_ppl_tiers_rejects_bad_fractions(spark, lmq_corpus):
         ppl_tiers(scored, head_frac=0.6, tail_frac=0.5)
     with pytest.raises(ValueError):
         ppl_tiers(scored, head_frac=0.0)
+
+
+# --------------------------------------------------------------------------
+# bloom — distributed Bloom filter membership prefilter
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def bloom_frames(spark):
+    from name_deduplication_python_spark.operators.bloom import bloom_build
+
+    hist = spark.createDataFrame(
+        [(f"http://seen.example/{i}",) for i in range(200)], "key string"
+    )
+    bloom = bloom_build(hist, "key", n_bits=8192, k=5)
+    return hist, bloom
+
+
+def test_bloom_no_false_negatives(spark, bloom_frames):
+    from name_deduplication_python_spark.operators.bloom import (
+        bloom_maybe_contains,
+    )
+
+    hist, bloom = bloom_frames
+    probed = bloom_maybe_contains(hist, "key", bloom, n_bits=8192, k=5)
+    assert probed.where(~F.col("maybe_seen")).count() == 0
+
+
+def test_bloom_fresh_keys_mostly_new_and_fpr_bounded(spark, bloom_frames):
+    from name_deduplication_python_spark.operators.bloom import (
+        bloom_maybe_contains,
+        bloom_params,
+    )
+
+    _, bloom = bloom_frames
+    fresh = spark.createDataFrame(
+        [(f"http://new.example/{i}",) for i in range(500)], "key string"
+    )
+    probed = bloom_maybe_contains(fresh, "key", bloom, n_bits=8192, k=5)
+    fp = probed.where(F.col("maybe_seen")).count()
+    # n=200, m=8192, k=5 -> theoretical fpr ~2e-4; allow generous slack
+    assert fp <= 5
+    n_bits, k = bloom_params(1000, fpr=0.01)
+    assert n_bits % 64 == 0 and n_bits >= 9000 and 5 <= k <= 10
+
+
+def test_bloom_word_packing_matches_hashlib(spark):
+    from name_deduplication_python_spark.operators.bloom import bloom_build
+
+    keys = [f"k{i}" for i in range(50)]
+    df = spark.createDataFrame([(k,) for k in keys], "key string")
+    got = {
+        r.word_idx: r.bits for r in bloom_build(df, "key", 1024, 3).collect()
+    }
+    want: dict[int, int] = {}
+    for key in keys:
+        for i in range(3):
+            pos = (
+                int(hashlib.md5(f"{key}#b{i}".encode()).hexdigest()[:12], 16)
+                % 1024
+            )
+            w, b = pos >> 6, pos & 63
+            want[w] = want.get(w, 0) | (1 << b)
+    # python ints are unsigned; Spark words are int64 two's complement
+    want = {w: v - (1 << 64) if v >= (1 << 63) else v for w, v in want.items()}
+    assert got == want
+
+
+def test_bloom_union_equals_joint_build(spark):
+    from name_deduplication_python_spark.operators.bloom import (
+        bloom_build,
+        bloom_union,
+    )
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(40)], "key string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(40)], "key string")
+    joint = bloom_build(a.unionByName(b), "key", 2048, 4)
+    merged = bloom_union(
+        bloom_build(a, "key", 2048, 4), bloom_build(b, "key", 2048, 4)
+    )
+    got = {r.word_idx: r.bits for r in merged.collect()}
+    want = {r.word_idx: r.bits for r in joint.collect()}
+    assert got == want
+
+
+def test_bloom_probe_plan_python_free_and_shuffle_mode(spark, bloom_frames):
+    from name_deduplication_python_spark.operators.bloom import (
+        bloom_maybe_contains,
+    )
+
+    hist, bloom = bloom_frames
+    bcast = bloom_maybe_contains(hist, "key", bloom, n_bits=8192, k=5)
+    plan = _plan(bcast)
+    assert not any(m in plan for m in _PY_MARKERS)
+    assert "BroadcastHashJoin" in plan
+    # at-scale mode: the word table shuffle-joins instead of broadcasting,
+    # verdicts identical
+    shuf = bloom_maybe_contains(
+        hist, "key", bloom, n_bits=8192, k=5, broadcast_filter=False
+    )
+    assert shuf.where(~F.col("maybe_seen")).count() == 0
+
+
+def test_bloom_rejects_bad_params(spark, bloom_frames):
+    from name_deduplication_python_spark.operators.bloom import (
+        bloom_build,
+        bloom_params,
+    )
+
+    hist, _ = bloom_frames
+    with pytest.raises(ValueError):
+        bloom_build(hist, "key", n_bits=100, k=3)  # not a multiple of 64
+    with pytest.raises(ValueError):
+        bloom_build(hist, "key", n_bits=1024, k=0)
+    with pytest.raises(ValueError):
+        bloom_params(0)
+    with pytest.raises(ValueError):
+        bloom_params(10, fpr=1.5)
