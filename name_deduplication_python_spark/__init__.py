@@ -38,4 +38,13 @@ DEFAULT_CONFIG = {
     # est_jaccard >= this floor (operators.verify.hamming_floor() gives
     # the recommended strict value, ~0.635 at this config).
     "hamming_est_floor": None,
+    # streaming store membership prefilter (operators/bloom.py): when on,
+    # each epoch appends a Bloom word table over its band hashes and
+    # subsequent batches drop definitely-new bh values BEFORE the store
+    # key read — novel-bucket batches skip store partitions entirely.
+    # Off by default (identical results either way; the filter only
+    # prunes). bloom_bits=2^20 -> 16k words (~128 KB broadcast), k=4.
+    "bloom_prefilter": False,
+    "bloom_bits": 1 << 20,
+    "bloom_k": 4,
 }

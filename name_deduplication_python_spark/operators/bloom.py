@@ -60,7 +60,7 @@ def _positions(key: Column, n_bits: int, k: int, hash_fn: str) -> Column:
     48-bit prefix (via conv) is non-negative so plain % floors
     correctly, and xxhash64 goes through pmod."""
     def one(i: int) -> Column:
-        salted = F.concat(key, F.lit(f"#b{i}"))
+        salted = F.concat(key.cast("string"), F.lit(f"#b{i}"))
         if hash_fn == "xxh64":
             return F.pmod(F.xxhash64(salted), F.lit(n_bits)).cast("bigint")
         return (

@@ -166,8 +166,66 @@ class IncrementalDedup:
             .drop("_last_epoch")
         )
 
+    def _bloom_filter_batch_bh(
+        self, new_keys: DataFrame, epoch_id: int
+    ) -> DataFrame | None:
+        """Optional membership prefilter (cfg['bloom_prefilter']): the
+        batch's distinct bh set reduced to values the store Bloom filter
+        says MAYBE exist. Definitely-new bh generate no store I/O at all
+        — their partitions never enter the IN filter and their rows never
+        enter the semi-join broadcast; a fully-novel batch skips the
+        store read entirely. maybe_seen=false is exact, so results are
+        identical with the knob on or off.
+
+        Correctness gate: the Bloom store must cover EVERY band-key epoch
+        < epoch_id (false negatives are otherwise possible for epochs
+        written before the knob was enabled, or mid-crash partials).
+        When coverage is incomplete the prefilter declines (returns
+        None) and the batch takes the unfiltered path. compact_store
+        only ever REMOVES store rows, so a post-compaction Bloom is
+        merely more permissive (stale bits = extra maybes), never wrong."""
+        from ..operators.bloom import bloom_maybe_contains
+
+        bk_root = os.path.join(self.store, "band_keys")
+        bloom_root = os.path.join(self.store, "bloom")
+        need = {
+            n
+            for n in os.listdir(bk_root)
+            if n.startswith("epoch=") and int(n.split("=", 1)[1]) < epoch_id
+        }
+        if not need:
+            return None  # cold store: nothing to prune against
+        have = (
+            {n for n in os.listdir(bloom_root) if n.startswith("epoch=")}
+            if os.path.isdir(bloom_root)
+            else set()
+        )
+        if not need <= have:
+            return None
+        words = (
+            self.spark.read.parquet(bloom_root)
+            .where(F.col("epoch") < epoch_id)
+            .groupBy("word_idx")
+            .agg(F.expr("bit_or(bits)").alias("bits"))
+        )
+        return (
+            bloom_maybe_contains(
+                new_keys.select("bh").distinct(),
+                "bh",
+                words,
+                n_bits=self.cfg["bloom_bits"],
+                k=self.cfg["bloom_k"],
+                hash_fn="xxh64",
+            )
+            .where(F.col("maybe_seen"))
+            .drop("maybe_seen")
+        )
+
     def _pruned_store_keys(
-        self, old_keys: DataFrame, new_keys: DataFrame
+        self,
+        old_keys: DataFrame,
+        new_keys: DataFrame,
+        batch_bh: DataFrame | None = None,
     ) -> DataFrame:
         """Store band keys restricted to the BATCH's bucket set — the key
         side of the O(touched) contract (round 3 fixed the verify-payload
@@ -185,7 +243,8 @@ class IncrementalDedup:
              the store is never shuffled; only rows in TOUCHED buckets
              reach the candidate join's exchange.
         """
-        batch_bh = new_keys.select("bh").distinct()
+        if batch_bh is None:
+            batch_bh = new_keys.select("bh").distinct()
         if "bp" in old_keys.columns:
             parts = [
                 r.bp
@@ -255,8 +314,13 @@ class IncrementalDedup:
         old_keys = self._read_store("band_keys")
         if old_keys is not None:
             new_urls = new_sigs.select("url")
+            batch_bh = (
+                self._bloom_filter_batch_bh(new_keys, epoch_id)
+                if self.cfg.get("bloom_prefilter")
+                else None
+            )
             old_keys = self._pruned_store_keys(
-                old_keys.where(F.col("epoch") < epoch_id), new_keys
+                old_keys.where(F.col("epoch") < epoch_id), new_keys, batch_bh
             )
             # re-crawl guards on the PAIR-GENERATION side: (a) a url in
             # THIS batch supersedes all its store versions — anti-join
@@ -311,6 +375,22 @@ class IncrementalDedup:
             ).parquet(bk_epoch)
         else:
             new_keys.write.mode("overwrite").parquet(bk_epoch)
+        if self.cfg.get("bloom_prefilter"):
+            # per-epoch Bloom word table over this batch's band hashes
+            # (<= bloom_bits/64 rows); read side bit_or-merges epochs.
+            # Written BEFORE signatures so the idempotence marker also
+            # covers it (a replay overwrites both).
+            from ..operators.bloom import bloom_build
+
+            bloom_build(
+                new_keys.select("bh").distinct(),
+                "bh",
+                n_bits=self.cfg["bloom_bits"],
+                k=self.cfg["bloom_k"],
+                hash_fn="xxh64",
+            ).write.mode("overwrite").parquet(
+                os.path.join(self.store, "bloom", f"epoch={epoch_id}")
+            )
         # signatures written LAST: their _SUCCESS is the epoch's idempotence
         # marker, so a crash mid-epoch replays the whole epoch (overwrite
         # mode makes the replay exact)

@@ -503,3 +503,96 @@ def test_compact_store_crash_mid_swap_recovers_not_cold(spark, tmp_path):
     inc4 = IncrementalDedup(spark, store)
     assert not os.path.isdir(sig_root + "__old")
     assert inc4._read_store("signatures") is not None
+
+
+def test_bloom_prefilter_identical_edges_and_epoch_tables(spark, tmp_path):
+    """cfg['bloom_prefilter'] must be a pure pruning knob: same corpus,
+    same split, same edges with it on or off (maybe_seen=false is exact,
+    so no candidate the unfiltered path finds can be dropped)."""
+    pages, _ = generate_corpus(n_base=80, seed=21)
+    df = corpus_to_spark(spark, pages).cache()
+    urls_sorted = sorted(pages["url"])
+    evens = set(urls_sorted[::2])
+    first = df.where(df.url.isin(list(evens)))
+    second = df.where(~df.url.isin(list(evens)))
+
+    def run(store, cfg):
+        inc = IncrementalDedup(spark, store, cfg)
+        inc.process_batch(first, 0)
+        inc.process_batch(second, 1)
+        return {
+            (r["src"], r["dst"])
+            for r in inc.edges().select("src", "dst").collect()
+        }
+
+    base = run(str(tmp_path / "off"), None)
+    bloomed = run(str(tmp_path / "on"), {"bloom_prefilter": True})
+    assert bloomed == base and base
+    # per-epoch word tables exist and are tiny (<= bloom_bits/64 rows)
+    for e in (0, 1):
+        p = os.path.join(str(tmp_path / "on"), "bloom", f"epoch={e}")
+        assert os.path.isdir(p)
+    words = spark.read.parquet(os.path.join(str(tmp_path / "on"), "bloom"))
+    from name_deduplication_python_spark import DEFAULT_CONFIG
+
+    assert words.count() <= 2 * DEFAULT_CONFIG["bloom_bits"] // 64
+
+
+def test_bloom_prefilter_declines_without_full_coverage(spark, tmp_path):
+    """Enabling the knob on a store whose earlier epochs predate it must
+    NOT drop candidates: coverage check declines the prefilter (returns
+    None) until every band-key epoch has a Bloom table."""
+    pages, _ = generate_corpus(n_base=60, seed=23)
+    df = corpus_to_spark(spark, pages).cache()
+    urls_sorted = sorted(pages["url"])
+    evens = set(urls_sorted[::2])
+    store = str(tmp_path / "store")
+
+    inc_off = IncrementalDedup(spark, store)  # epoch 0 without bloom
+    inc_off.process_batch(df.where(df.url.isin(list(evens))), 0)
+
+    inc_on = IncrementalDedup(spark, store, {"bloom_prefilter": True})
+    from name_deduplication_python_spark.operators.lsh import band_keys
+    from name_deduplication_python_spark.operators.signatures import (
+        signature_stage,
+    )
+    from name_deduplication_python_spark.operators.extract import extract_stage
+
+    cfg = inc_on.cfg
+    second = df.where(~df.url.isin(list(evens)))
+    nk = band_keys(
+        signature_stage(
+            extract_stage(second),
+            num_hashes=cfg["num_hashes"],
+            shingle_k=cfg["shingle_k"],
+            seed=cfg["seed"],
+        ),
+        bands=cfg["bands"],
+        rows_per_band=cfg["rows_per_band"],
+    )
+    assert inc_on._bloom_filter_batch_bh(nk, 1) is None
+    # the batch still processes correctly through the unfiltered path
+    inc_on.process_batch(second, 1)
+    assert inc_on.edges().count() > 0
+
+
+def test_bloom_prefilter_novel_batch_prunes_store_read(spark, tmp_path):
+    """A batch sharing no band hash with the store must reduce to a
+    (near-)empty maybe-seen bh set — the definitely-new fast path that
+    skips store partitions entirely at crawl scale."""
+    pages, _ = generate_corpus(n_base=60, seed=29)
+    df = corpus_to_spark(spark, pages).cache()
+    store = str(tmp_path / "store")
+    inc = IncrementalDedup(spark, store, {"bloom_prefilter": True})
+    inc.process_batch(df, 0)
+
+    # synthetic keys guaranteed absent from the store's bh space
+    novel = spark.createDataFrame(
+        [(f"novel-{i}", -(10**17) - i) for i in range(400)], ["url", "bh"]
+    )
+    kept = inc._bloom_filter_batch_bh(novel, 1)
+    assert kept is not None
+    n_kept = kept.count()
+    # theoretical fpr at n_store~60*25 keys, m=2^20, k=4 is ~1e-11;
+    # anything beyond a couple of rows means the filter is broken
+    assert n_kept <= 2, n_kept
