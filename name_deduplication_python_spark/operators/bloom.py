@@ -56,21 +56,25 @@ def bloom_params(n_keys: int, fpr: float = 0.01) -> tuple[int, int]:
 def _positions(key: Column, n_bits: int, k: int, hash_fn: str) -> Column:
     """array<bigint> of k bit positions in [0, n_bits) for one key.
 
-    Each position hashes the key with a distinct salt suffix; md5's
-    48-bit prefix (via conv) is non-negative so plain % floors
-    correctly, and xxhash64 goes through pmod."""
-    def one(i: int) -> Column:
-        salted = F.concat(key.cast("string"), F.lit(f"#b{i}"))
-        if hash_fn == "xxh64":
-            return F.pmod(F.xxhash64(salted), F.lit(n_bits)).cast("bigint")
-        return (
-            F.conv(F.substring(F.md5(salted), 1, 12), 16, 10).cast("bigint")
-            % F.lit(n_bits)
-        )
+    Each position hashes the key with a distinct salt suffix through
+    dsir._bucket_expr — the single shared hash-to-range expression whose
+    md5 path the DuckDB oracles replay bit-identically (bigint output:
+    n_bits exceeds int32 at 10^12-key sizing)."""
+    from .dsir import _bucket_expr
 
     if hash_fn not in ("md5", "xxh64"):
         raise ValueError(f"hash_fn must be 'md5' or 'xxh64', got {hash_fn!r}")
-    return F.array(*[one(i) for i in range(k)])
+    return F.array(
+        *[
+            _bucket_expr(
+                F.concat(key.cast("string"), F.lit(f"#b{i}")),
+                n_bits,
+                hash_fn,
+                cast_to="bigint",
+            )
+            for i in range(k)
+        ]
+    )
 
 
 def bloom_build(

@@ -41,8 +41,18 @@ from pyspark.sql import functions as F
 TWO_POW_48 = float(1 << 48)
 
 
-def _bucket_expr(gram: Column, buckets: int, hash_fn: str = "md5") -> Column:
-    """Hash a gram string to [0, buckets).
+def _bucket_expr(
+    gram: Column, buckets: int, hash_fn: str = "md5", cast_to: str = "int"
+) -> Column:
+    """Hash a gram string to [0, buckets), cast to ``cast_to``.
+
+    Shared by DSIR/LM-quality featurization (int buckets) and the Bloom
+    filter's bit positions (operators/bloom.py, bigint — n_bits exceeds
+    int32 at 10^12-key sizing). Keep ALL hash-to-range logic here: the
+    md5-prefix path's bit-exact agreement with the DuckDB oracles is
+    load-bearing, and this expression shape is the one proven safe
+    against the Spark 4.1.2 md5-over-parquet corruption pitfalls
+    documented in hashed_gram_buckets.
 
     hash_fn="md5" (default): int(md5(gram)[:12 hex], 16) % buckets —
     replayable bit-identically in any engine with md5 (the 48-bit prefix
@@ -59,13 +69,13 @@ def _bucket_expr(gram: Column, buckets: int, hash_fn: str = "md5") -> Column:
     valid) bucketings, so never mix them across a fit/score pair.
     """
     if hash_fn == "xxh64":
-        return F.pmod(F.xxhash64(gram), F.lit(buckets)).cast("int")
+        return F.pmod(F.xxhash64(gram), F.lit(buckets)).cast(cast_to)
     if hash_fn != "md5":
         raise ValueError(f"hash_fn must be 'md5' or 'xxh64', got {hash_fn!r}")
     return (
         F.conv(F.substring(F.md5(gram), 1, 12), 16, 10).cast("bigint")
         % F.lit(buckets)
-    ).cast("int")
+    ).cast(cast_to)
 
 
 def hashed_gram_buckets(

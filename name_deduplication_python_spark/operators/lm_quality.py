@@ -42,7 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dsir import hashed_gram_buckets
+from .dsir import _bucket_counts, hashed_gram_buckets
 
 
 def fit_bucket_lm(
@@ -66,11 +66,7 @@ def fit_bucket_lm(
         buckets=buckets,
         hash_fn=hash_fn,
     )
-    counts = (
-        feats.select(F.explode("buckets").alias("bucket"))
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    counts = _bucket_counts(feats)
     spine = ref_docs.sparkSession.range(buckets).select(
         F.col("id").cast("int").alias("bucket")
     )
@@ -98,7 +94,9 @@ def lm_log_ppl(
     buckets: int = 4096,
     hash_fn: str = "md5",
 ) -> DataFrame:
-    """(id_col, n_tokens, log_ppl) for every document.
+    """(id_col, n_tokens, log_ppl) for every document with non-null text
+    (a NULL text has no tokens to score and yields no output row —
+    callers wanting those docs back outer-join on id_col).
 
     log_ppl = -(1/n) * sum_i ln p(token_i) — the natural-log perplexity
     exponent (ppl = e^log_ppl); LOW is clean prose. ``buckets`` and
@@ -150,12 +148,16 @@ def ppl_tiers(
         raise ValueError("head_frac/tail_frac must be in (0, 1)")
     if head_frac + tail_frac >= 1:
         raise ValueError("head_frac + tail_frac must leave room for middle")
-    cuts = scored.agg(
+    row = scored.agg(
         F.percentile_approx(
             ppl_col, [head_frac, 1.0 - tail_frac], accuracy
         ).alias("q")
-    ).head()["q"]
-    head_cut, tail_cut = float(cuts[0]), float(cuts[1])
+    ).head()
+    if row is None or row["q"] is None:
+        # empty input (e.g. an upstream filter dropped everything): no
+        # cutoffs exist; keep the schema contract with a null tier
+        return scored.withColumn("tier", F.lit(None).cast("string"))
+    head_cut, tail_cut = float(row["q"][0]), float(row["q"][1])
     return scored.withColumn(
         "tier",
         F.when(F.col(ppl_col) <= head_cut, F.lit("head"))

@@ -1935,7 +1935,9 @@ def q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         hashed_gram_buckets,
     )
 
-    docs = _docs(spark, sf_dir)
+    # null-text docs excluded on both sides (same contract as ccnet_lm_ppl:
+    # the Spark explode drops them; the oracle would emit them with NULLs)
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
     target = docs.where(F.col("doc_id") % _DSIR_TARGET_MOD == 0)
     raw = docs.where(F.col("doc_id") % _DSIR_TARGET_MOD != 0)
     # featurize the raw side ONCE (it feeds both the fit counts and the
@@ -1961,6 +1963,7 @@ def q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DSIR_SCORES = f"""
 WITH tok AS (
   SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+  WHERE text IS NOT NULL
 ), g AS (
   SELECT doc_id,
          list_concat(
@@ -2240,7 +2243,9 @@ _LMQ_REF_MOD = 17
 def q_ccnet_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.lm_quality import fit_bucket_lm, lm_log_ppl
 
-    docs = _docs(spark, sf_dir)
+    # null-text docs are unscoreable and excluded on BOTH sides (the
+    # Spark explode drops them naturally; the SQL filters explicitly)
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
     ref = docs.where(F.col("doc_id") % _LMQ_REF_MOD == 0)
     lm = fit_bucket_lm(ref, buckets=_LMQ_BUCKETS)
     # spread the single small testdata split before the md5 featurize
@@ -2256,6 +2261,7 @@ def q_ccnet_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CCNET_LM_PPL = f"""
 WITH tok AS (
   SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+  WHERE text IS NOT NULL
 ), b AS (
   SELECT doc_id,
          [(cast(('0x' || substr(md5(x), 1, 12)) AS BIGINT)

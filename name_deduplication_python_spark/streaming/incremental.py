@@ -166,6 +166,82 @@ class IncrementalDedup:
             .drop("_last_epoch")
         )
 
+    def _bloom_params(self) -> tuple[int, int]:
+        """(n_bits, k) the Bloom store was keyed with.
+
+        Persisted to store/bloom/_meta.json on first write: build and
+        probe MUST use identical params (operators/bloom.py contract),
+        and probing an old store with a changed live cfg would silently
+        produce false negatives (dropped duplicate edges). Once a store
+        exists, the persisted params WIN; a conflicting live cfg raises
+        at the first use instead of corrupting results — re-key by
+        deleting store/bloom and running backfill_bloom()."""
+        import json
+
+        meta_path = os.path.join(self.store, "bloom", "_meta.json")
+        live = (int(self.cfg["bloom_bits"]), int(self.cfg["bloom_k"]))
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            stored = (int(meta["n_bits"]), int(meta["k"]))
+            if stored != live and (
+                self.cfg["bloom_bits"] != DEFAULT_CONFIG["bloom_bits"]
+                or self.cfg["bloom_k"] != DEFAULT_CONFIG["bloom_k"]
+            ):
+                raise ValueError(
+                    f"bloom store at {meta_path} was built with n_bits="
+                    f"{stored[0]}, k={stored[1]} but cfg requests "
+                    f"{live[0]}/{live[1]}; delete store/bloom and run "
+                    "backfill_bloom() to re-key"
+                )
+            return stored
+        os.makedirs(os.path.dirname(meta_path), exist_ok=True)
+        with open(meta_path, "w") as f:
+            json.dump({"n_bits": live[0], "k": live[1], "hash_fn": "xxh64"}, f)
+        return live
+
+    def _bloom_epochs_done(self) -> set[str]:
+        """Bloom epoch dirs whose write COMPLETED (_SUCCESS) — a partial
+        dir from a crash must not count as coverage (its missing bits
+        would read as definitely-new: false negatives)."""
+        root = os.path.join(self.store, "bloom")
+        if not os.path.isdir(root):
+            return set()
+        return {
+            n
+            for n in os.listdir(root)
+            if n.startswith("epoch=")
+            and os.path.exists(os.path.join(root, n, "_SUCCESS"))
+        }
+
+    def _write_bloom_epoch(self, keys: DataFrame, epoch_id: int) -> None:
+        from ..operators.bloom import bloom_build
+
+        n_bits, k = self._bloom_params()
+        bloom_build(
+            keys.select("bh").distinct(), "bh", n_bits=n_bits, k=k,
+            hash_fn="xxh64",
+        ).write.mode("overwrite").parquet(
+            os.path.join(self.store, "bloom", f"epoch={epoch_id}")
+        )
+
+    def backfill_bloom(self) -> int:
+        """Build Bloom word tables for band-key epochs that predate the
+        knob (or whose write crashed) so the prefilter can activate on an
+        existing store — without this, one uncovered epoch keeps the
+        coverage gate declining forever. Offline maintenance like
+        compact_store (run between epochs). Returns #epochs built."""
+        bk_root = os.path.join(self.store, "band_keys")
+        done = self._bloom_epochs_done()
+        built = 0
+        for n in sorted(os.listdir(bk_root)):
+            if not n.startswith("epoch=") or n in done:
+                continue
+            keys = self.spark.read.parquet(os.path.join(bk_root, n))
+            self._write_bloom_epoch(keys, int(n.split("=", 1)[1]))
+            built += 1
+        return built
+
     def _bloom_filter_batch_bh(
         self, new_keys: DataFrame, epoch_id: int
     ) -> DataFrame | None:
@@ -178,16 +254,17 @@ class IncrementalDedup:
         identical with the knob on or off.
 
         Correctness gate: the Bloom store must cover EVERY band-key epoch
-        < epoch_id (false negatives are otherwise possible for epochs
-        written before the knob was enabled, or mid-crash partials).
-        When coverage is incomplete the prefilter declines (returns
-        None) and the batch takes the unfiltered path. compact_store
-        only ever REMOVES store rows, so a post-compaction Bloom is
-        merely more permissive (stale bits = extra maybes), never wrong."""
+        < epoch_id with a COMPLETED (_SUCCESS) table (false negatives are
+        otherwise possible for epochs written before the knob was
+        enabled, or mid-crash partials). When coverage is incomplete the
+        prefilter declines (returns None) and the batch takes the
+        unfiltered path — backfill_bloom() closes the gap offline.
+        compact_store only ever REMOVES store rows, so a post-compaction
+        Bloom is merely more permissive (stale bits = extra maybes),
+        never wrong."""
         from ..operators.bloom import bloom_maybe_contains
 
         bk_root = os.path.join(self.store, "band_keys")
-        bloom_root = os.path.join(self.store, "bloom")
         need = {
             n
             for n in os.listdir(bk_root)
@@ -195,15 +272,11 @@ class IncrementalDedup:
         }
         if not need:
             return None  # cold store: nothing to prune against
-        have = (
-            {n for n in os.listdir(bloom_root) if n.startswith("epoch=")}
-            if os.path.isdir(bloom_root)
-            else set()
-        )
-        if not need <= have:
+        if not need <= self._bloom_epochs_done():
             return None
+        n_bits, k = self._bloom_params()
         words = (
-            self.spark.read.parquet(bloom_root)
+            self.spark.read.parquet(os.path.join(self.store, "bloom"))
             .where(F.col("epoch") < epoch_id)
             .groupBy("word_idx")
             .agg(F.expr("bit_or(bits)").alias("bits"))
@@ -213,12 +286,15 @@ class IncrementalDedup:
                 new_keys.select("bh").distinct(),
                 "bh",
                 words,
-                n_bits=self.cfg["bloom_bits"],
-                k=self.cfg["bloom_k"],
+                n_bits=n_bits,
+                k=k,
                 hash_fn="xxh64",
             )
             .where(F.col("maybe_seen"))
             .drop("maybe_seen")
+            # reused twice downstream (partition-IN collect + semi-join
+            # broadcast) — same pattern as new_keys/pairs
+            .localCheckpoint()
         )
 
     def _pruned_store_keys(
@@ -379,18 +455,9 @@ class IncrementalDedup:
             # per-epoch Bloom word table over this batch's band hashes
             # (<= bloom_bits/64 rows); read side bit_or-merges epochs.
             # Written BEFORE signatures so the idempotence marker also
-            # covers it (a replay overwrites both).
-            from ..operators.bloom import bloom_build
-
-            bloom_build(
-                new_keys.select("bh").distinct(),
-                "bh",
-                n_bits=self.cfg["bloom_bits"],
-                k=self.cfg["bloom_k"],
-                hash_fn="xxh64",
-            ).write.mode("overwrite").parquet(
-                os.path.join(self.store, "bloom", f"epoch={epoch_id}")
-            )
+            # covers it (a replay overwrites both). Params come from the
+            # store's persisted _meta.json (build/probe key agreement).
+            self._write_bloom_epoch(new_keys, epoch_id)
         # signatures written LAST: their _SUCCESS is the epoch's idempotence
         # marker, so a crash mid-epoch replays the whole epoch (overwrite
         # mode makes the replay exact)

@@ -596,3 +596,40 @@ def test_bloom_prefilter_novel_batch_prunes_store_read(spark, tmp_path):
     # theoretical fpr at n_store~60*25 keys, m=2^20, k=4 is ~1e-11;
     # anything beyond a couple of rows means the filter is broken
     assert n_kept <= 2, n_kept
+
+
+def test_bloom_backfill_activates_and_param_drift_raises(spark, tmp_path):
+    """backfill_bloom() closes the coverage gap for epochs predating the
+    knob (review finding: one uncovered epoch kept the gate declining
+    forever); persisted _meta.json params win over a drifted live cfg
+    (probing with changed n_bits/k would silently false-negative)."""
+    import pytest as _pytest
+
+    pages, _ = generate_corpus(n_base=60, seed=23)
+    df = corpus_to_spark(spark, pages).cache()
+    store = str(tmp_path / "store")
+    IncrementalDedup(spark, store).process_batch(df, 0)  # knob off
+
+    inc_on = IncrementalDedup(spark, store, {"bloom_prefilter": True})
+    nk = spark.read.parquet(os.path.join(store, "band_keys")).select(
+        "url", "bh"
+    )
+    assert inc_on._bloom_filter_batch_bh(nk, 1) is None  # uncovered
+    assert inc_on.backfill_bloom() == 1
+    kept = inc_on._bloom_filter_batch_bh(nk, 1)
+    assert kept is not None
+    # the store's own keys must all be maybe-seen (no false negatives)
+    assert kept.count() == nk.select("bh").distinct().count()
+    # a partial (crashed, markerless) bloom epoch must not count
+    import shutil
+
+    part = os.path.join(store, "bloom", "epoch=9")
+    os.makedirs(part)
+    assert "epoch=9" not in inc_on._bloom_epochs_done()
+    shutil.rmtree(part)
+    # explicit conflicting params raise instead of corrupting results
+    drift = IncrementalDedup(
+        spark, store, {"bloom_prefilter": True, "bloom_bits": 1 << 21}
+    )
+    with _pytest.raises(ValueError, match="re-key"):
+        drift._bloom_params()
