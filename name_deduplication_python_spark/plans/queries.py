@@ -2343,6 +2343,166 @@ FROM bp LEFT JOIN hp ON bp.pos = hp.pos
 GROUP BY bp.doc_id
 """
 
+# --------------------------------------------------------------------------
+# 47. url_revisit_diffs — re-crawl revisit analysis (operators/revisit.py):
+#     consecutive-version token-set Jaccard per url. The driver corpus is
+#     one-row-per-doc, so revisit structure is DERIVED deterministically
+#     (url = source '/p' doc_id%11, version order = doc_id — the same
+#     derive-then-mirror trick as c4_clean_docs' line splitting); the
+#     production call sites pass the input_hint's (url, warc_ts) directly.
+#     Oracle = the identical window-lag + list-intersection in DuckDB.
+# --------------------------------------------------------------------------
+
+_REVISIT_MOD = 11
+_REVISIT_CHANGED_BELOW = 0.9
+
+
+def q_url_revisit_diffs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.revisit import revisit_diffs
+
+    pages = _docs(spark, sf_dir).select(
+        F.concat(
+            F.col("source"),
+            F.lit("/p"),
+            (F.col("doc_id") % _REVISIT_MOD).cast("string"),
+        ).alias("url"),
+        F.col("doc_id").alias("version"),
+        "text",
+    )
+    return revisit_diffs(
+        pages,
+        url_col="url",
+        version_col="version",
+        text_col="text",
+        changed_below=_REVISIT_CHANGED_BELOW,
+    ).select(
+        "url",
+        F.col("prev_version").cast("bigint").alias("prev_version"),
+        F.col("version").cast("bigint").alias("version"),
+        "jaccard",
+        "is_changed",
+    )
+
+
+SQL_URL_REVISIT_DIFFS = f"""
+WITH d AS (
+  SELECT source || '/p' || CAST(doc_id % {_REVISIT_MOD} AS VARCHAR) AS url,
+         doc_id AS version,
+         list_distinct(string_split(trim(text), ' ')) AS toks
+  FROM documents
+), v AS (
+  SELECT url, version,
+         lag(version) OVER (PARTITION BY url ORDER BY version)
+           AS prev_version,
+         toks,
+         lag(toks) OVER (PARTITION BY url ORDER BY version) AS prev_toks
+  FROM d
+)
+SELECT url, prev_version, version,
+       round(len(list_intersect(toks, prev_toks)) * 1.0
+             / len(list_distinct(toks || prev_toks)), 6) AS jaccard,
+       (round(len(list_intersect(toks, prev_toks)) * 1.0
+              / len(list_distinct(toks || prev_toks)), 6)
+        < {_REVISIT_CHANGED_BELOW})::INT AS is_changed
+FROM v
+WHERE prev_version IS NOT NULL
+"""
+
+# --------------------------------------------------------------------------
+# 48. source_overlap_matrix — exact pairwise distinct-token Jaccard
+#     between sources (operators/kmv.py group_overlap_exact): the audit
+#     twin of the KMV sketch path below, same query pair discipline as
+#     ann_topk (brute oracle) vs ann_lsh/ivf_topk (scale paths).
+# 49. source_overlap_kmv — the SAME matrix from bottom-k (KMV) sketches
+#     (Beyer et al. SIGMOD'07): one corpus pass builds k=128 sketches,
+#     pairwise estimates touch only S sketch rows. md5-hex hash order
+#     replays bit-identically in DuckDB, so the ESTIMATE itself (not
+#     just the exact answer) is oracle-verified.
+# --------------------------------------------------------------------------
+
+_KMV_K = 128
+
+
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.kmv import group_overlap_exact
+
+    toks = _docs(spark, sf_dir).select(
+        "source", F.explode(F.array_distinct(F.expr(_TOK))).alias("tok")
+    )
+    return group_overlap_exact(toks, "source", "tok").select(
+        F.col("src_group").alias("src_source"),
+        F.col("dst_group").alias("dst_source"),
+        "n_src",
+        "n_dst",
+        "n_inter",
+        "jaccard",
+    )
+
+
+SQL_SOURCE_OVERLAP_MATRIX = """
+WITH toks AS (
+  SELECT DISTINCT source, tok FROM (
+    SELECT source,
+           unnest(list_distinct(string_split(trim(text), ' '))) AS tok
+    FROM documents
+  )
+), sizes AS (
+  SELECT source, count(*) AS sz FROM toks GROUP BY source
+), inter AS (
+  SELECT a.source AS src_source, b.source AS dst_source,
+         count(*) AS n_inter
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_source, dst_source,
+       sa.sz AS n_src, sb.sz AS n_dst, n_inter,
+       round(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.source = src_source
+JOIN sizes sb ON sb.source = dst_source
+"""
+
+
+def q_source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.kmv import group_overlap_kmv
+
+    toks = _docs(spark, sf_dir).select(
+        "source", F.explode(F.array_distinct(F.expr(_TOK))).alias("tok")
+    )
+    return group_overlap_kmv(toks, "source", "tok", k=_KMV_K).select(
+        F.col("src_group").alias("src_source"),
+        F.col("dst_group").alias("dst_source"),
+        "jaccard_est",
+    )
+
+
+SQL_SOURCE_OVERLAP_KMV = f"""
+WITH toks AS (
+  SELECT DISTINCT source, md5(tok) AS h FROM (
+    SELECT source,
+           unnest(list_distinct(string_split(trim(text), ' '))) AS tok
+    FROM documents
+  )
+), rk AS (
+  SELECT source, h,
+         row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+  FROM toks
+), sk AS (
+  SELECT source, list_sort(list(h)) AS sketch
+  FROM rk WHERE rn <= {_KMV_K} GROUP BY source
+), p AS (
+  SELECT a.source AS src_source, b.source AS dst_source,
+         a.sketch AS ska, b.sketch AS skb,
+         (list_sort(list_distinct(a.sketch || b.sketch)))[1:{_KMV_K}] AS L
+  FROM sk a JOIN sk b ON a.source < b.source
+)
+SELECT src_source, dst_source,
+       round(len(list_filter(L, x -> list_contains(ska, x)
+                                 AND list_contains(skb, x))) * 1.0
+             / len(L), 6) AS jaccard_est
+FROM p
+"""
+
 
 QUERIES = {
     "exact_dedup": q_exact_dedup,
@@ -2391,6 +2551,9 @@ QUERIES = {
     "url_filtered_docs": q_url_filtered_docs,
     "ccnet_lm_ppl": q_ccnet_lm_ppl,
     "bloom_new_docs": q_bloom_new_docs,
+    "url_revisit_diffs": q_url_revisit_diffs,
+    "source_overlap_matrix": q_source_overlap_matrix,
+    "source_overlap_kmv": q_source_overlap_kmv,
 }
 
 ORACLES = {
@@ -2456,4 +2619,9 @@ ORACLES = {
     "url_filtered_docs": SQL_URL_FILTERED_DOCS,
     "ccnet_lm_ppl": SQL_CCNET_LM_PPL,
     "bloom_new_docs": SQL_BLOOM_NEW_DOCS,
+    "url_revisit_diffs": SQL_URL_REVISIT_DIFFS,
+    "source_overlap_matrix": SQL_SOURCE_OVERLAP_MATRIX,
+    # the KMV oracle verifies the sketch ESTIMATE bit-for-bit (md5-hex
+    # order is engine-independent), not merely the exact answer
+    "source_overlap_kmv": SQL_SOURCE_OVERLAP_KMV,
 }
