@@ -83,6 +83,9 @@ HEADLINE_QUERIES = [
     "c4_clean_docs",
     # round-5g: CCNet LM-perplexity quality scores (broadcast bucket LM)
     "ccnet_lm_ppl",
+    # round-5h: KMV source-overlap sketches + re-crawl revisit diffs
+    "source_overlap_kmv",
+    "url_revisit_diffs",
 ]
 
 
