@@ -86,6 +86,8 @@ HEADLINE_QUERIES = [
     # round-5h: KMV source-overlap sketches + re-crawl revisit diffs
     "source_overlap_kmv",
     "url_revisit_diffs",
+    # round-5i: link-graph host rank (iterative PageRank)
+    "host_pagerank",
 ]
 
 

@@ -2503,6 +2503,88 @@ SELECT src_source, dst_source,
 FROM p
 """
 
+# --------------------------------------------------------------------------
+# 50. host_pagerank — link-graph quality weighting (operators/linkgraph.py):
+#     fixed-iteration PageRank over a host->host edge set, the second
+#     iterative operator after CC. The driver corpus has no hrefs, so the
+#     edge set is DERIVED deterministically (source -> 'src'((id*7+3)%20),
+#     self-loops dropped); production call sites build it from
+#     extract_outlinks(html) -> host_graph. The oracle UNROLLS the same
+#     iterations as chained CTEs — every arithmetic literal is written
+#     identically ((1-0.85)/n, not 0.15/n: 1-0.85 and the literal 0.15
+#     are DIFFERENT doubles) so the two engines replay the same IEEE ops;
+#     summation-order drift lives ~1e-17, far below the round(,6).
+# --------------------------------------------------------------------------
+
+_PR_ITERS = 5
+_PR_MOD = 20
+_PR_OFF = 3
+# dst uses doc_id^2: quadratic residues mod 20 hit only 6 of the 20
+# hosts, so the derived graph has genuine hub structure (6 high-indegree
+# hubs, 14 teleport-only sources) instead of the near-complete graph a
+# linear formula produces (uniform ranks — correct but structureless)
+
+
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.linkgraph import pagerank
+
+    edges = (
+        _docs(spark, sf_dir)
+        .select(
+            F.col("source").alias("src"),
+            F.concat(
+                F.lit("src"),
+                (
+                    (F.col("doc_id") * F.col("doc_id") + _PR_OFF) % _PR_MOD
+                ).cast("string"),
+            ).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return pagerank(edges, iterations=_PR_ITERS).select(
+        F.col("node").alias("host"), "pagerank"
+    )
+
+
+def _pagerank_sql(iters: int) -> str:
+    head = f"""
+WITH edges AS (
+  SELECT DISTINCT source AS src,
+         'src' || CAST((doc_id * doc_id + {_PR_OFF}) % {_PR_MOD}
+                       AS VARCHAR) AS dst
+  FROM documents
+  WHERE source <> 'src' || CAST((doc_id * doc_id + {_PR_OFF})
+                                % {_PR_MOD} AS VARCHAR)
+), nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+), nn AS (SELECT count(*) AS n FROM nodes),
+outdeg AS (SELECT src, count(*) AS out FROM edges GROUP BY src),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f""",
+r{i} AS (
+  SELECT n.node,
+         (1 - 0.85) / (SELECT n FROM nn)
+           + 0.85 * coalesce(s.c, 0) AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(p.r / o.out) AS c
+    FROM r{i - 1} p
+    JOIN edges e ON e.src = p.node
+    JOIN outdeg o ON o.src = p.node
+    GROUP BY e.dst
+  ) s USING (node)
+)""")
+    return (
+        head
+        + "".join(steps)
+        + f"\nSELECT node AS host, round(r, 6) AS pagerank FROM r{iters}"
+    )
+
+
+SQL_HOST_PAGERANK = _pagerank_sql(_PR_ITERS)
+
 
 QUERIES = {
     "exact_dedup": q_exact_dedup,
@@ -2554,6 +2636,7 @@ QUERIES = {
     "url_revisit_diffs": q_url_revisit_diffs,
     "source_overlap_matrix": q_source_overlap_matrix,
     "source_overlap_kmv": q_source_overlap_kmv,
+    "host_pagerank": q_host_pagerank,
 }
 
 ORACLES = {
@@ -2624,4 +2707,5 @@ ORACLES = {
     # the KMV oracle verifies the sketch ESTIMATE bit-for-bit (md5-hex
     # order is engine-independent), not merely the exact answer
     "source_overlap_kmv": SQL_SOURCE_OVERLAP_KMV,
+    "host_pagerank": SQL_HOST_PAGERANK,
 }

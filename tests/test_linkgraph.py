@@ -1,0 +1,131 @@
+"""Link-graph operators (operators/linkgraph.py): outlink extraction,
+host graph, fixed-iteration PageRank."""
+
+from __future__ import annotations
+
+import pytest
+
+from name_deduplication_python_spark.operators.linkgraph import (
+    extract_outlinks,
+    host_graph,
+    pagerank,
+)
+
+
+def _pages(spark):
+    html_a = (
+        b'<html><body>'
+        b'<a href="http://B.com/x?utm_source=z">tracked</a>'
+        b'<a href="https://c.com/">c</a>'
+        b'<a href="#frag">fragment-only</a>'
+        b'<a href="/relative">relative</a>'
+        b'<a href="http://a.com/">self</a>'
+        b"</body></html>"
+    )
+    html_b = b'<html><body><a href="http://c.com/">c</a></body></html>'
+    return spark.createDataFrame(
+        [("http://a.com/", html_a), ("http://b.com/x", html_b)],
+        "url string, html binary",
+    )
+
+
+def test_extract_outlinks_absolute_canonical_no_self(spark):
+    got = {
+        (r["src_url"], r["dst_url"])
+        for r in extract_outlinks(_pages(spark)).collect()
+    }
+    # tracking param stripped + host lowercased by canonicalization;
+    # fragment-only and relative hrefs skipped; self-link dropped
+    assert got == {
+        ("http://a.com/", "http://b.com/x"),
+        ("http://a.com/", "https://c.com/"),
+        ("http://b.com/x", "http://c.com/"),
+    }
+
+
+def test_host_graph_drops_intra_host_edges(spark):
+    links = spark.createDataFrame(
+        [
+            ("http://a.com/1", "http://a.com/2"),  # intra-host: dropped
+            ("http://a.com/1", "http://b.com/"),
+            ("http://a.com/9", "http://b.com/z"),  # same host pair: dedup
+        ],
+        "src_url string, dst_url string",
+    )
+    got = {(r["src"], r["dst"]) for r in host_graph(links).collect()}
+    assert got == {("a.com", "b.com")}
+
+
+def _reference_pagerank(edges, iterations, d=0.85):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(nodes)
+    out = {}
+    for u, _ in edges:
+        out[u] = out.get(u, 0) + 1
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(iterations):
+        contrib = {v: 0.0 for v in nodes}
+        for u, v in edges:
+            contrib[v] += r[u] / out[u]
+        r = {v: (1 - d) / n + d * contrib[v] for v in nodes}
+    return r
+
+
+@pytest.mark.parametrize("iterations", [1, 5])
+def test_pagerank_matches_reference_loop(spark, iterations):
+    edges = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["node"]: r["pagerank"]
+        for r in pagerank(df, iterations=iterations).collect()
+    }
+    want = _reference_pagerank(edges, iterations)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-6)
+
+
+def test_pagerank_sink_keeps_teleport_only_inflow_semantics(spark):
+    # 'b' is a sink (dangling): its mass is NOT redistributed; 'a' has
+    # no inlinks so converges to (1-d)/n
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    got = {
+        r["node"]: r["pagerank"]
+        for r in pagerank(df, iterations=3).collect()
+    }
+    assert got["a"] == pytest.approx(0.15 / 2, abs=1e-6)
+    assert got["b"] > got["a"]
+
+
+def test_pagerank_star_center_outranks_leaves(spark):
+    edges = [(f"leaf{i}", "hub") for i in range(6)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["node"]: r["pagerank"]
+        for r in pagerank(df, iterations=4).collect()
+    }
+    assert all(got["hub"] > got[f"leaf{i}"] for i in range(6))
+
+
+def test_pagerank_rejects_zero_iterations(spark):
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError):
+        pagerank(df, iterations=0)
+
+
+def test_linkgraph_plans_are_python_free(spark):
+    frames = [
+        extract_outlinks(_pages(spark)),
+        pagerank(
+            spark.createDataFrame(
+                [("a", "b"), ("b", "a")], "src string, dst string"
+            ),
+            iterations=2,
+        ),
+    ]
+    for frame in frames:
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
