@@ -81,9 +81,16 @@ def kmv_sketch(
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     groups = list(group_cols)
-    hashed = df.select(
-        *groups, _hash_hex(F.col(value_col), hash_fn).alias("_h")
-    ).distinct()
+    hashed = (
+        df.select(*groups, _hash_hex(F.col(value_col), hash_fn).alias("_h"))
+        # a NULL value hashes to NULL, sorts FIRST (asc_nulls_first) and
+        # would consume a row_number slot in both windows while
+        # collect_list silently drops it — a k-1 sketch then reads as an
+        # "exact" count of k-1. NULLs carry no distinct-value meaning;
+        # drop them before they can poison the sketch.
+        .where(F.col("_h").isNotNull())
+        .distinct()
+    )
     # phase 1: bottom-k within (group, salt) — bounds every sort task
     salt = F.pmod(F.xxhash64("_h"), F.lit(salt_buckets)).alias("_s")
     w1 = Window.partitionBy(*groups, "_s").orderBy("_h")
@@ -145,7 +152,13 @@ def group_overlap_kmv(
     per-group sketches; the pairwise stage touches only S sketch rows of
     k strings each (broadcast-joined — S is slices/snapshots, never
     docs)."""
-    sk = kmv_sketch(docs, [group_col], value_col, k=k, hash_fn=hash_fn)
+    # checkpoint before the self-join: the a-side and the broadcast
+    # b-side otherwise EACH re-execute the full sketch build (the
+    # dominant cost — a broadcast exchange doesn't reuse the probe
+    # side's plan)
+    sk = kmv_sketch(
+        docs, [group_col], value_col, k=k, hash_fn=hash_fn
+    ).localCheckpoint()
     a = sk.select(
         F.col(group_col).alias("src_group"), F.col("sketch").alias("_ska")
     )
@@ -170,7 +183,9 @@ def group_overlap_exact(
     a self-join on the value. Correct at any scale but the self-join
     carries every distinct (group, value) row — use the KMV path for
     routine 10^12-scale reports and this for audits of a slice."""
-    vals = docs.select(group_col, value_col).distinct()
+    # checkpoint: sizes + both join sides would otherwise re-run the
+    # corpus-wide distinct three times
+    vals = docs.select(group_col, value_col).distinct().localCheckpoint()
     sizes = vals.groupBy(group_col).agg(F.count("*").alias("_sz"))
     a = vals.select(
         F.col(group_col).alias("src_group"), F.col(value_col).alias("_v")

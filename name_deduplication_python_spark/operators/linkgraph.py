@@ -39,29 +39,41 @@ from pyspark.sql import functions as F
 
 from ..functions.urlnorm import canonical_url_expr
 
-_HREF_PATTERN = r'href="(https?://[^"#]+)"'
+_HREF_PATTERN = r'href="(https?://[^"]+)"'
 
 
 def extract_outlinks(
     pages: DataFrame, url_col: str = "url", html_col: str = "html"
 ) -> DataFrame:
     """(src_url, dst_url) for every absolute http(s) href in the page
-    html, both sides canonicalized (functions/urlnorm.py), self-links
-    dropped. Map-only; html must be valid UTF-8 (the WARC reader's
-    record payloads are checked upstream)."""
+    html, both sides canonicalized (functions/urlnorm.py — fragments
+    stripped there, so fragment-bearing cross-site hrefs keep their
+    edge), self-links dropped.
+
+    Map-only — duplicate pairs are NOT removed here (a url-pair distinct
+    is a corpus-wide shuffle over the largest intermediate in the
+    pipeline; host_graph distincts AFTER collapsing to host pairs, ~3
+    orders of magnitude smaller). The html bytes go through
+    cast(binary as string), which interprets bytes as UTF-8 WITHOUT
+    validation — real crawls are full of Latin-1/GBK/truncated pages
+    (the WARC reader stores the raw HTTP body), and an ANSI decode()
+    would abort the stage on the first one; the ASCII href pattern is
+    unaffected by mojibake in the surrounding text."""
     hrefs = F.regexp_extract_all(
-        F.decode(F.col(html_col), "UTF-8"), F.lit(_HREF_PATTERN), 1
+        F.col(html_col).cast("string"), F.lit(_HREF_PATTERN), 1
     )
     links = pages.select(
         canonical_url_expr(F.col(url_col)).alias("src_url"),
         F.explode(hrefs).alias("_raw"),
     ).select("src_url", canonical_url_expr(F.col("_raw")).alias("dst_url"))
-    return links.where(F.col("src_url") != F.col("dst_url")).distinct()
+    return links.where(F.col("src_url") != F.col("dst_url"))
 
 
 def host_of(url: Column) -> Column:
-    """Host component of a url (empty string when absent)."""
-    return F.coalesce(F.parse_url(url, F.lit("HOST")), F.lit(""))
+    """Host component of a url (empty string when absent or malformed —
+    try_parse_url, not parse_url: under ANSI one bad url would abort
+    the job, the same pitfall functions/urlnorm.py documents)."""
+    return F.coalesce(F.try_parse_url(url, F.lit("HOST")), F.lit(""))
 
 
 def host_graph(links: DataFrame) -> DataFrame:
@@ -106,6 +118,10 @@ def pagerank(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        # checkpoint BEFORE count: the count materializes it, and every
+        # iteration's left join then reuses the result instead of
+        # re-scanning the edge set for the union+distinct each time
+        .localCheckpoint()
     )
     n = nodes.count()
     if n == 0:

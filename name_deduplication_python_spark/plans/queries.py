@@ -2507,7 +2507,7 @@ FROM p
 # 50. host_pagerank — link-graph quality weighting (operators/linkgraph.py):
 #     fixed-iteration PageRank over a host->host edge set, the second
 #     iterative operator after CC. The driver corpus has no hrefs, so the
-#     edge set is DERIVED deterministically (source -> 'src'((id*7+3)%20),
+#     edge set is DERIVED deterministically (source -> 'src'((id²+3)%20),
 #     self-loops dropped); production call sites build it from
 #     extract_outlinks(html) -> host_graph. The oracle UNROLLS the same
 #     iterations as chained CTEs — every arithmetic literal is written

@@ -31,6 +31,16 @@ def test_kmv_sketch_is_bottom_k_of_distinct_hashes(spark):
     assert got["sketch"] == expected
 
 
+def test_kmv_null_values_do_not_poison_sketch(spark):
+    # a NULL value hashes to NULL; it must neither occupy a bottom-k
+    # slot nor shrink the sketch into a fake "exact" count
+    rows = [("g", f"w{i}") for i in range(300)] + [("g", None)]
+    df = spark.createDataFrame(rows, "grp string, v string")
+    got = kmv_sketch(df, ["grp"], "v", k=16).collect()[0]
+    expected = sorted(_md5(f"w{i}") for i in range(300))[:16]
+    assert got["sketch"] == expected
+
+
 def test_kmv_exact_count_below_k(spark):
     df = spark.createDataFrame(
         [("g", f"w{i}") for i in range(7)], "grp string, v string"

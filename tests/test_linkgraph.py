@@ -20,9 +20,14 @@ def _pages(spark):
         b'<a href="#frag">fragment-only</a>'
         b'<a href="/relative">relative</a>'
         b'<a href="http://a.com/">self</a>'
+        b'<a href="http://d.com/page#sec">fragment-bearing</a>'
         b"</body></html>"
     )
-    html_b = b'<html><body><a href="http://c.com/">c</a></body></html>'
+    # \xff\xfe: invalid UTF-8 — real crawls are full of non-UTF-8 pages
+    # and the extraction must tolerate them (cast, not ANSI decode)
+    html_b = (
+        b'<html><body>\xff\xfe<a href="http://c.com/">c</a></body></html>'
+    )
     return spark.createDataFrame(
         [("http://a.com/", html_a), ("http://b.com/x", html_b)],
         "url string, html binary",
@@ -34,11 +39,13 @@ def test_extract_outlinks_absolute_canonical_no_self(spark):
         (r["src_url"], r["dst_url"])
         for r in extract_outlinks(_pages(spark)).collect()
     }
-    # tracking param stripped + host lowercased by canonicalization;
-    # fragment-only and relative hrefs skipped; self-link dropped
+    # tracking param stripped + host lowercased + fragment stripped by
+    # canonicalization; fragment-only and relative hrefs skipped;
+    # self-link dropped; non-UTF-8 page still yields its link
     assert got == {
         ("http://a.com/", "http://b.com/x"),
         ("http://a.com/", "https://c.com/"),
+        ("http://a.com/", "http://d.com/page"),
         ("http://b.com/x", "http://c.com/"),
     }
 
@@ -49,6 +56,9 @@ def test_host_graph_drops_intra_host_edges(spark):
             ("http://a.com/1", "http://a.com/2"),  # intra-host: dropped
             ("http://a.com/1", "http://b.com/"),
             ("http://a.com/9", "http://b.com/z"),  # same host pair: dedup
+            # malformed url: try_parse_url yields '' -> filtered, the
+            # job must NOT abort (ANSI parse_url would throw)
+            ("http://a.com/1", "http://bad host/ with spaces"),
         ],
         "src_url string, dst_url string",
     )
