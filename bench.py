@@ -88,6 +88,8 @@ HEADLINE_QUERIES = [
     "url_revisit_diffs",
     # round-5i: link-graph host rank (iterative PageRank)
     "host_pagerank",
+    # round-5j: per-source composition report (dup rate + quality + rank)
+    "source_quality_report",
 ]
 
 

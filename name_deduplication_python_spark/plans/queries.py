@@ -2525,12 +2525,11 @@ _PR_OFF = 3
 # linear formula produces (uniform ranks — correct but structureless)
 
 
-def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.linkgraph import pagerank
-
-    edges = (
-        _docs(spark, sf_dir)
-        .select(
+def _pr_edges(docs: DataFrame) -> DataFrame:
+    """The deterministic derived host edge set (shared by host_pagerank
+    and source_quality_report)."""
+    return (
+        docs.select(
             F.col("source").alias("src"),
             F.concat(
                 F.lit("src"),
@@ -2542,9 +2541,14 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("src") != F.col("dst"))
         .distinct()
     )
-    return pagerank(edges, iterations=_PR_ITERS).select(
-        F.col("node").alias("host"), "pagerank"
-    )
+
+
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.linkgraph import pagerank
+
+    return pagerank(
+        _pr_edges(_docs(spark, sf_dir)), iterations=_PR_ITERS
+    ).select(F.col("node").alias("host"), "pagerank")
 
 
 def _pagerank_sql(iters: int) -> str:
@@ -2584,6 +2588,78 @@ r{i} AS (
 
 
 SQL_HOST_PAGERANK = _pagerank_sql(_PR_ITERS)
+
+# --------------------------------------------------------------------------
+# 51. source_quality_report — the reference is at heart a REPORT generator
+#     (A5/A6 summary stats, /root/reference/analysis_engine.py); this is
+#     the web-domain composition report: per source, volume, exact-dup
+#     involvement, mean quality signals, and the source's link-graph
+#     rank — four operator families joined in one answer. Window count
+#     over text finds dup involvement (one shuffle); averages are over
+#     unrounded per-doc doubles (sum-order drift ~1e-16, rounded at 4).
+# --------------------------------------------------------------------------
+
+
+def q_source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.linkgraph import pagerank
+
+    docs = _docs(spark, sf_dir)
+    toks = F.expr(_TOK)
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_copies = F.count("*").over(Window.partitionBy("text"))
+    per_doc = docs.select(
+        "source",
+        n_tok.alias("_nt"),
+        (n_stop / n_tok).alias("_sr"),
+        (n_copies > 1).cast("int").alias("_dup"),
+    )
+    report = per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_dup").alias("n_dup_docs"),
+        F.round(F.sum("_dup") / F.count("*"), 4).alias("dup_rate"),
+        F.round(F.avg("_nt"), 4).alias("mean_tokens"),
+        F.round(F.avg("_sr"), 4).alias("mean_stopword_ratio"),
+    )
+    ranks = pagerank(_pr_edges(docs), iterations=_PR_ITERS).select(
+        F.col("node").alias("source"), F.col("pagerank").alias("host_rank")
+    )
+    return report.join(F.broadcast(ranks), "source", "left").select(
+        "source",
+        "n_docs",
+        "n_dup_docs",
+        "dup_rate",
+        "mean_tokens",
+        "mean_stopword_ratio",
+        F.coalesce("host_rank", F.lit(0.0)).alias("host_rank"),
+    )
+
+
+SQL_SOURCE_QUALITY_REPORT = f"""
+WITH pr AS ({SQL_HOST_PAGERANK}
+), per_doc AS (
+  SELECT source,
+         len(string_split(trim(text), ' ')) AS nt,
+         len(list_filter(string_split(trim(text), ' '),
+                         t -> t IN {_STOP_SQL}))
+           * 1.0 / len(string_split(trim(text), ' ')) AS sr,
+         (count(*) OVER (PARTITION BY text) > 1)::INT AS dup
+  FROM documents
+), rep AS (
+  SELECT source,
+         count(*) AS n_docs,
+         sum(dup)::BIGINT AS n_dup_docs,
+         round(sum(dup) * 1.0 / count(*), 4) AS dup_rate,
+         round(avg(nt), 4) AS mean_tokens,
+         round(avg(sr), 4) AS mean_stopword_ratio
+  FROM per_doc GROUP BY source
+)
+SELECT rep.source, n_docs, n_dup_docs, dup_rate, mean_tokens,
+       mean_stopword_ratio,
+       coalesce(pr.pagerank, 0.0) AS host_rank
+FROM rep LEFT JOIN pr ON pr.host = rep.source
+"""
 
 
 QUERIES = {
@@ -2637,6 +2713,7 @@ QUERIES = {
     "source_overlap_matrix": q_source_overlap_matrix,
     "source_overlap_kmv": q_source_overlap_kmv,
     "host_pagerank": q_host_pagerank,
+    "source_quality_report": q_source_quality_report,
 }
 
 ORACLES = {
@@ -2708,4 +2785,5 @@ ORACLES = {
     # order is engine-independent), not merely the exact answer
     "source_overlap_kmv": SQL_SOURCE_OVERLAP_KMV,
     "host_pagerank": SQL_HOST_PAGERANK,
+    "source_quality_report": SQL_SOURCE_QUALITY_REPORT,
 }
