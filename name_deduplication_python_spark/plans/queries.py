@@ -2594,9 +2594,12 @@ SQL_HOST_PAGERANK = _pagerank_sql(_PR_ITERS)
 #     (A5/A6 summary stats, /root/reference/analysis_engine.py); this is
 #     the web-domain composition report: per source, volume, exact-dup
 #     involvement, mean quality signals, and the source's link-graph
-#     rank — four operator families joined in one answer. Window count
-#     over text finds dup involvement (one shuffle); averages are over
-#     unrounded per-doc doubles (sum-order drift ~1e-16, rounded at 4).
+#     rank — four operator families joined in one answer. Dup involvement
+#     counts by 8-byte xxhash64(text) keys (the engine-wide shuffle
+#     discipline — a window PARTITION BY text would shuffle full page
+#     text as the key; the oracle's window over text is count-identical
+#     absent a 64-bit collision, the documented corpus budget). Averages
+#     are over unrounded per-doc doubles (drift ~1e-16, rounded at 4).
 # --------------------------------------------------------------------------
 
 
@@ -2608,12 +2611,18 @@ def q_source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
     n_tok = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
-    n_copies = F.count("*").over(Window.partitionBy("text"))
-    per_doc = docs.select(
+    scored = docs.select(
         "source",
+        F.xxhash64("text").alias("_h"),
         n_tok.alias("_nt"),
         (n_stop / n_tok).alias("_sr"),
-        (n_copies > 1).cast("int").alias("_dup"),
+    )
+    counts = scored.groupBy("_h").agg(F.count("*").alias("_n"))
+    per_doc = scored.join(counts, "_h").select(
+        "source",
+        "_nt",
+        "_sr",
+        (F.col("_n") > 1).cast("int").alias("_dup"),
     )
     report = per_doc.groupBy("source").agg(
         F.count("*").alias("n_docs"),
