@@ -4,7 +4,7 @@ entry(spark)  — flagship near-dup clustering over sf0.001 documents.
 queries()     — operator inventory per SURVEY.md §2 (see
                 name_deduplication_python_spark/plans/queries.py; each
                 query documents its reference-operator analog).
-oracle_sql()  — DuckDB-runnable ANSI SQL for every query: 51/51 carry an
+oracle_sql()  — DuckDB-runnable ANSI SQL for every query: 52/52 carry an
                 oracle. simhash_near_pairs / span_removed_docs /
                 semantic_dedup_docs (kernel halves not SQL-reproducible)
                 materialize their kernel tables to atomically-swapped

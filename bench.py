@@ -90,6 +90,7 @@ HEADLINE_QUERIES = [
     "host_pagerank",
     # round-5j: per-source composition report (dup rate + quality + rank)
     "source_quality_report",
+    "source_mixture_weights",
 ]
 
 

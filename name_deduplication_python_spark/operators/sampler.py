@@ -139,3 +139,58 @@ def assign_shards(
         .cast("long")
         .alias("shard_id"),
     )
+
+
+def mixture_weights(
+    docs: DataFrame,
+    group_col: str = "source",
+    tokens_col: str = "n_tokens",
+    alpha: float = 0.5,
+    budget_tokens: int | None = None,
+) -> DataFrame:
+    """Temperature-based source mixing weights (the Pile / ROOTS /
+    multilingual-LM recipe): each group's sampling weight is its token
+    mass raised to ``alpha``, normalized — alpha=1 reproduces natural
+    proportions, alpha<1 flattens the mixture toward low-resource
+    groups (alpha=0.5 is "temperature 2" sampling).
+
+    Returns (group_col, group_tokens, weight) — plus expected_tokens
+    when ``budget_tokens`` is given (the group's share of the training
+    budget, computed from the UNROUNDED ratio). One map-combined
+    aggregate reduces the corpus to S group rows (sources/snapshots,
+    never documents); the normalizing window runs over those S rows
+    only.
+
+    Cross-engine exactness: alpha=0.5 uses sqrt (correctly rounded per
+    IEEE 754 — bit-identical in any engine) and alpha=1.0 is exact;
+    other alphas go through pow(), whose last bit may differ between
+    libm implementations — fine in production, avoid under a
+    value-hashing oracle.
+    """
+    mass = docs.groupBy(group_col).agg(
+        F.sum(tokens_col).cast("bigint").alias("group_tokens")
+    )
+    if alpha == 0.5:
+        raw = F.sqrt("group_tokens")
+    elif alpha == 1.0:
+        raw = F.col("group_tokens").cast("double")
+    else:
+        raw = F.pow("group_tokens", F.lit(alpha))
+    scored = mass.select(group_col, "group_tokens", raw.alias("_raw"))
+    total = F.sum("_raw").over(Window.partitionBy())
+    out = scored.select(
+        group_col,
+        "group_tokens",
+        F.round(F.col("_raw") / total, 6).alias("weight"),
+        (F.col("_raw") / total).alias("_w"),
+    )
+    if budget_tokens is None:
+        return out.drop("_w")
+    return out.select(
+        group_col,
+        "group_tokens",
+        "weight",
+        F.round(F.lit(float(budget_tokens)) * F.col("_w"), 0)
+        .cast("bigint")
+        .alias("expected_tokens"),
+    )

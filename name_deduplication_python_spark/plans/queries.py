@@ -2670,6 +2670,44 @@ SELECT rep.source, n_docs, n_dup_docs, dup_rate, mean_tokens,
 FROM rep LEFT JOIN pr ON pr.host = rep.source
 """
 
+# --------------------------------------------------------------------------
+# 52. source_mixture_weights — temperature-based data-mixing weights
+#     (operators/sampler.py mixture_weights; Pile/ROOTS recipe): per-
+#     source token mass ^ alpha, normalized; alpha=0.5 ("temperature 2")
+#     flattens toward low-resource sources. sqrt is correctly rounded
+#     per IEEE 754, so the oracle replays the exponent bit-identically
+#     (pow() would be libm-dependent — see the operator docstring).
+# --------------------------------------------------------------------------
+
+_MIX_BUDGET = 1_000_000
+
+
+def q_source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampler import mixture_weights
+
+    per_doc = _docs(spark, sf_dir).select(
+        "source", F.size(F.expr(_TOK)).alias("n_tokens")
+    )
+    return mixture_weights(
+        per_doc, "source", "n_tokens", alpha=0.5, budget_tokens=_MIX_BUDGET
+    )
+
+
+SQL_SOURCE_MIXTURE_WEIGHTS = f"""
+WITH m AS (
+  SELECT source,
+         sum(len(string_split(trim(text), ' ')))::BIGINT AS group_tokens
+  FROM documents GROUP BY source
+), r AS (
+  SELECT source, group_tokens, sqrt(group_tokens) AS raw FROM m
+)
+SELECT source, group_tokens,
+       round(raw / (SELECT sum(raw) FROM r), 6) AS weight,
+       CAST(round({_MIX_BUDGET} * (raw / (SELECT sum(raw) FROM r)), 0)
+            AS BIGINT) AS expected_tokens
+FROM r
+"""
+
 
 QUERIES = {
     "exact_dedup": q_exact_dedup,
@@ -2723,6 +2761,7 @@ QUERIES = {
     "source_overlap_kmv": q_source_overlap_kmv,
     "host_pagerank": q_host_pagerank,
     "source_quality_report": q_source_quality_report,
+    "source_mixture_weights": q_source_mixture_weights,
 }
 
 ORACLES = {
@@ -2795,4 +2834,5 @@ ORACLES = {
     "source_overlap_kmv": SQL_SOURCE_OVERLAP_KMV,
     "host_pagerank": SQL_HOST_PAGERANK,
     "source_quality_report": SQL_SOURCE_QUALITY_REPORT,
+    "source_mixture_weights": SQL_SOURCE_MIXTURE_WEIGHTS,
 }

@@ -772,3 +772,59 @@ def test_bloom_rejects_bad_params(spark, bloom_frames):
         bloom_params(0)
     with pytest.raises(ValueError):
         bloom_params(10, fpr=1.5)
+
+
+# ------------------------------------------------------- mixture_weights ----
+
+
+def _mix_docs(spark):
+    # source 'big' has 4x the tokens of 'small'
+    rows = [("big", 400), ("big", 400), ("small", 100), ("small", 100)]
+    return spark.createDataFrame(rows, "source string, n_tokens int")
+
+
+def test_mixture_weights_alpha_1_is_natural_proportions(spark):
+    from name_deduplication_python_spark.operators.sampler import (
+        mixture_weights,
+    )
+
+    got = {
+        r["source"]: r
+        for r in mixture_weights(_mix_docs(spark), alpha=1.0).collect()
+    }
+    assert got["big"]["group_tokens"] == 800
+    assert got["big"]["weight"] == pytest.approx(0.8, abs=1e-6)
+    assert got["small"]["weight"] == pytest.approx(0.2, abs=1e-6)
+
+
+def test_mixture_weights_alpha_half_flattens_toward_small(spark):
+    from name_deduplication_python_spark.operators.sampler import (
+        mixture_weights,
+    )
+
+    got = {
+        r["source"]: r
+        for r in mixture_weights(
+            _mix_docs(spark), alpha=0.5, budget_tokens=1_000_000
+        ).collect()
+    }
+    # sqrt(800):sqrt(200) = 2:1 -> small's share rises 0.2 -> 1/3
+    assert got["big"]["weight"] == pytest.approx(2 / 3, abs=1e-5)
+    assert got["small"]["weight"] == pytest.approx(1 / 3, abs=1e-5)
+    assert got["big"]["expected_tokens"] + got["small"]["expected_tokens"] == pytest.approx(
+        1_000_000, abs=1
+    )
+
+
+def test_mixture_weights_sum_to_one(spark):
+    from name_deduplication_python_spark.operators.sampler import (
+        mixture_weights,
+    )
+
+    rows = [(f"s{i % 7}", 50 + i) for i in range(200)]
+    df = spark.createDataFrame(rows, "source string, n_tokens int")
+    weights = [
+        r["weight"] for r in mixture_weights(df, alpha=0.5).collect()
+    ]
+    assert len(weights) == 7
+    assert sum(weights) == pytest.approx(1.0, abs=1e-4)
