@@ -119,6 +119,53 @@ def test_pagerank_star_center_outranks_leaves(spark):
     assert all(got["hub"] > got[f"leaf{i}"] for i in range(6))
 
 
+def test_pagerank_random_graphs_match_reference(spark):
+    # seeded random digraphs, full-value parity vs the plain-python loop
+    import random
+
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        n = rng.randint(5, 12)
+        edges = sorted(
+            {
+                (f"n{rng.randint(0, n)}", f"n{rng.randint(0, n)}")
+                for _ in range(3 * n)
+            }
+        )
+        edges = [(u, v) for u, v in edges if u != v]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {
+            r["node"]: r["pagerank"]
+            for r in pagerank(df, iterations=4).collect()
+        }
+        want = _reference_pagerank(edges, 4)
+        assert set(got) == set(want), f"seed {seed}"
+        for v in want:
+            assert got[v] == pytest.approx(want[v], abs=1e-6), f"seed {seed}"
+
+
+def test_extract_outlinks_tolerates_arbitrary_bytes(spark):
+    # random binary garbage must never abort the stage (cast, not ANSI
+    # decode) and yields only hrefs the pattern genuinely matched
+    import random
+
+    rng = random.Random(0)
+    rows = [
+        (f"http://h{i}.com/", bytes(rng.randrange(256) for _ in range(200)))
+        for i in range(40)
+    ]
+    rows.append(
+        ("http://ok.com/", b'\x00\xff<a href="http://t.com/">x</a>\xfe')
+    )
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = extract_outlinks(df).collect()
+    assert {(r["src_url"], r["dst_url"]) for r in got} >= {
+        ("http://ok.com/", "http://t.com/")
+    }
+    for r in got:
+        assert r["dst_url"].startswith("http")
+
+
 def test_pagerank_rejects_zero_iterations(spark):
     df = spark.createDataFrame([("a", "b")], "src string, dst string")
     with pytest.raises(ValueError):
