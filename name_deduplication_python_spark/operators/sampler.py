@@ -88,21 +88,46 @@ def cumulative_tokens(
 
 def token_budget_sample(
     docs: DataFrame,
-    budget_tokens: int,
+    budget_tokens: int | None,
     strata_col: str = "lang",
     id_col: str = "doc_id",
     text_col: str = "text",
+    budgets: DataFrame | None = None,
 ) -> DataFrame:
     """Documents whose running token total (in md5(id) priority order
-    within each stratum) stays within `budget_tokens`.
+    within each stratum) stays within the stratum's budget.
+
+    ``budget_tokens`` applies one cap to EVERY stratum; ``budgets``
+    (exactly one of the two) gives per-stratum caps as a tiny
+    (strata_col, budget_tokens) frame — S rows, broadcast-joined — the
+    mixture-weighting hand-off (mixture_weights(...budget_tokens=B)
+    renames expected_tokens to budget_tokens and plugs in here).
 
     Returns (id_col, strata_col, n_tokens, cum_tokens) for the selected
-    documents. A document that would cross the budget is excluded (the
-    budget is a hard cap, not a nearest-target)."""
+    documents. A document that would cross its cap is excluded (hard
+    cap, not nearest-target); strata absent from ``budgets`` are
+    dropped entirely (cap 0 semantics)."""
+    if (budget_tokens is None) == (budgets is None):
+        raise ValueError(
+            "pass exactly one of budget_tokens (global) or budgets "
+            "(per-stratum frame)"
+        )
     cum = cumulative_tokens(
         docs, strata_col=strata_col, id_col=id_col, text_col=text_col
-    ).where(F.col("cum_tokens") <= budget_tokens)
-    return cum.select(
+    )
+    if budgets is None:
+        kept = cum.where(F.col("cum_tokens") <= budget_tokens)
+    else:
+        caps = F.broadcast(
+            budgets.select(
+                F.col(strata_col).alias("stratum"),
+                F.col("budget_tokens").alias("_cap"),
+            )
+        )
+        kept = cum.join(caps, "stratum").where(
+            F.col("cum_tokens") <= F.col("_cap")
+        )
+    return kept.select(
         F.col("id").alias(id_col),
         F.col("stratum").alias(strata_col),
         "n_tokens",

@@ -10,7 +10,8 @@ operators (no new kernels).
       -> eval-set decontamination       (decontaminate.flag_contaminated)
       -> DSIR target-distribution pick  (dsir.fit/weights/sample; optional)
       -> PII scrub                      (pii.redact_documents)
-      -> token-budget sample            (sampler.token_budget_sample)
+      -> token-budget sample            (sampler.token_budget_sample;
+                                         optional mixture_alpha budget split)
       -> shard assignment               (sampler.assign_shards)
 
 Scale notes: every stage is one of the already-audited plans — the
@@ -36,7 +37,11 @@ from .operators.components import components_with_singletons
 from .operators.decontaminate import flag_contaminated
 from .operators.lsh import band_keys, candidate_pairs
 from .operators.report import best_member_per_cluster
-from .operators.sampler import assign_shards, token_budget_sample
+from .operators.sampler import (
+    assign_shards,
+    mixture_weights,
+    token_budget_sample,
+)
 from .operators.signatures import signature_stage
 from .operators.verify import verify_stage
 
@@ -83,6 +88,7 @@ def build_training_set(
     dsir_hash_fn: str = "md5",
     c4_clean: bool = False,
     c4_badwords: tuple | None = None,
+    mixture_alpha: float | None = None,
 ) -> tuple[DataFrame, dict]:
     """Run the full funnel over `docs` (doc_id, text, <strata_col>).
 
@@ -97,6 +103,11 @@ def build_training_set(
                    frame; a 10^12-doc deployment reuses the staged
                    signature table instead (DedupPipeline path).
     budget_tokens  per-stratum token budget; None keeps everything.
+    mixture_alpha  with budget_tokens: treat the budget as the TOTAL
+                   and split it across strata by temperature-based
+                   mixing (mass^alpha normalized — alpha=1 natural
+                   proportions, alpha=0.5 'temperature 2'); None keeps
+                   the same cap for every stratum.
     target_docs    high-quality corpus (doc_id, text) to steer the mix
                    toward; with dsir_top_k, keeps the k surviving docs
                    drawn by DSIR Gumbel-top-k importance resampling
@@ -238,7 +249,28 @@ def build_training_set(
     )
 
     # 6-7. token budget + shard assignment (shared cumsum kernel).
-    if budget_tokens is not None:
+    # With mixture_alpha the TOTAL budget splits across strata by
+    # temperature-based mixing (sampler.mixture_weights over the
+    # post-clean token mass); otherwise the budget caps every stratum.
+    if budget_tokens is not None and mixture_alpha is not None:
+        per_doc = scrubbed.select(
+            strata_col,
+            F.size(F.split(F.trim("text"), " ")).alias("n_tokens"),
+        )
+        caps = mixture_weights(
+            per_doc,
+            strata_col,
+            "n_tokens",
+            alpha=mixture_alpha,
+            budget_tokens=budget_tokens,
+        ).select(
+            strata_col, F.col("expected_tokens").alias("budget_tokens")
+        )
+        picked = token_budget_sample(
+            scrubbed, None, strata_col=strata_col, budgets=caps
+        )
+        sampled = scrubbed.join(picked.select("doc_id"), "doc_id")
+    elif budget_tokens is not None:
         picked = token_budget_sample(
             scrubbed, budget_tokens, strata_col=strata_col
         )

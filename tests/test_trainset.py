@@ -202,3 +202,63 @@ def test_funnel_c4_stats_and_badwords_plumb(spark):
         spark, docs, tokens_per_shard=500, c4_clean=True
     )
     assert stats2["n_c4"] == 2
+
+
+def test_funnel_mixture_alpha_splits_total_budget(spark):
+    # two strata with 4:1 token mass; alpha=1 splits the TOTAL budget by
+    # natural proportions, so the 'small' stratum's cap is ~budget/5 and
+    # its heavier docs cannot all fit
+    big = [(i, "big", _BASE_A + f"variant {i} " + _BASE_B) for i in range(8)]
+    small = [(100 + i, "small", _BASE_C + f"tail {i}") for i in range(2)]
+    docs = spark.createDataFrame(big + small, ["doc_id", "lang", "text"])
+
+    total_tokens = sum(len(t.split()) for _, _, t in big + small)
+    budget = total_tokens // 2
+
+    shards, stats = build_training_set(
+        spark,
+        docs,
+        budget_tokens=budget,
+        tokens_per_shard=10_000,
+        mixture_alpha=1.0,
+    )
+    rows = shards.collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], 0)
+        by_lang[r["lang"]] += r["n_tokens"]
+    # each stratum stays within its proportional share of the total
+    mass = {"big": 0, "small": 0}
+    for _, lang, t in big + small:
+        mass[lang] += len(t.split())
+    for lang, used in by_lang.items():
+        share = budget * mass[lang] / total_tokens
+        assert used <= share + 1, (lang, used, share)
+    # and the overall sample respects the total budget
+    assert sum(by_lang.values()) <= budget
+
+
+def test_token_budget_sample_per_stratum_budgets(spark):
+    from name_deduplication_python_spark.operators.sampler import (
+        token_budget_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "a" if i < 6 else "b", "tok " * 10) for i in range(12)],
+        ["doc_id", "lang", "text"],
+    )
+    caps = spark.createDataFrame(
+        [("a", 25), ("b", 45)], ["lang", "budget_tokens"]
+    )
+    got = token_budget_sample(docs, None, budgets=caps).collect()
+    used = {}
+    for r in got:
+        used.setdefault(r["lang"], 0)
+        used[r["lang"]] += r["n_tokens"]
+    assert used["a"] <= 25 and used["b"] <= 45
+    assert used["a"] == 20 and used["b"] == 40  # 10-token docs, hard cap
+
+    with pytest.raises(ValueError):
+        token_budget_sample(docs, 100, budgets=caps)
+    with pytest.raises(ValueError):
+        token_budget_sample(docs, None, budgets=None)
