@@ -91,6 +91,11 @@ HEADLINE_QUERIES = [
     # round-5j: per-source composition report (dup rate + quality + rank)
     "source_quality_report",
     "source_mixture_weights",
+    # round-6: full-PSL registrable domains, dangling-mass PageRank,
+    # chain-mode (transitive) SemDeDup
+    "psl_domains",
+    "host_pagerank_dangling",
+    "semantic_dedup_chain_docs",
 ]
 
 

@@ -17,12 +17,15 @@ the corpus side never shuffles). At 10^12 docs this stage deletes
 30-50% of raw crawl before signatures are ever computed, which is the
 cheapest compute you will ever save.
 
-Registered-domain extraction is public-suffix-LITE: exact semantics
-need Mozilla's full Public Suffix List (thousands of rules, updated
-continuously — a deployment asset, not an algorithm); here a curated
-set of common multi-part TLDs picks label count 3 vs 2, documented as
-the approximation it is. The driver query replays every expression in
-DuckDB, so the whole filter is value-auditable end-to-end.
+Registered-domain extraction has two modes (round 6): pass
+functions.psl.load_psl() as `psl` for the REAL Public Suffix List
+algorithm (longest-rule match, wildcards, exceptions) compiled from the
+shipped curated snapshot — or any full upstream public_suffix_list.dat
+— into native isin/InSet predicates (still map-only, no join); leave it
+None for the original public-suffix-lite fallback (MULTIPART_TLDS picks
+label count 3 vs 2). The driver query replays every expression —
+including the full PSL CASE — in DuckDB, so the whole filter is
+value-auditable end-to-end.
 """
 
 from __future__ import annotations
@@ -58,9 +61,20 @@ def host_of(url: Column) -> Column:
     return F.lower(F.regexp_extract(url, _HOST_RE, 1))
 
 
-def registered_domain(host: Column) -> Column:
-    """Public-suffix-lite registrable domain: last 2 labels, or last 3
-    when the last 2 form a known multi-part TLD (MULTIPART_TLDS)."""
+def registered_domain(host: Column, psl=None) -> Column:
+    """Registrable domain of a (lowercased) host.
+
+    psl: a functions/psl.PslRules — the REAL Public Suffix List
+    algorithm (longest rule, wildcards, exceptions) compiled to a
+    native expression; pass functions.psl.load_psl() for the shipped
+    curated snapshot or load_psl(path) for a full upstream list.
+    None keeps the original public-suffix-lite fallback: last 2 labels,
+    or last 3 when the last 2 form a known multi-part TLD
+    (MULTIPART_TLDS) — the zero-asset approximation."""
+    if psl is not None:
+        from .psl import registered_domain_expr
+
+        return registered_domain_expr(host, psl)
     labels = F.split(host, r"\.")
     n = F.size(labels)
     last2 = F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1))
@@ -78,12 +92,13 @@ def registered_domain(host: Column) -> Column:
     )
 
 
-def url_quality_flags(url: Column) -> dict[str, Column]:
+def url_quality_flags(url: Column, psl=None) -> dict[str, Column]:
     """Per-URL native scoring columns (RefinedWeb §3.1 word-based URL
     scoring shape):
 
       host          lowercased host
-      domain        registrable domain (public-suffix-lite)
+      domain        registrable domain (PSL when `psl` rules are given,
+                    public-suffix-lite otherwise — see registered_domain)
       kw_hits       how many curated BLOCK_KEYWORDS occur in the URL
       digit_ratio   digits / length of the host (DGA/spam farms are
                     digit-heavy; round 4 so any engine replays it)
@@ -101,7 +116,7 @@ def url_quality_flags(url: Column) -> dict[str, Column]:
     )
     return {
         "host": host,
-        "domain": registered_domain(host),
+        "domain": registered_domain(host, psl=psl),
         "kw_hits": kw.cast("int"),
         "digit_ratio": ratio,
         "url_len": F.length(url).cast("int"),
@@ -116,6 +131,7 @@ def filter_urls(
     max_digit_ratio: float = 0.5,
     max_url_len: int = 2048,
     keep_flags: bool = False,
+    psl=None,
 ) -> DataFrame:
     """Drop documents whose URL fails the blocklist or the score bands.
 
@@ -124,8 +140,12 @@ def filter_urls(
     LEFT ANTI join on `domain`; the shape for the multi-million-row UT1
     lists). keep_flags=True keeps the scoring columns on the survivors
     (audit mode); default drops them so the stage is a pure filter.
+    psl: PslRules for real Public-Suffix-List domain extraction (see
+    registered_domain) — blocklists built from registrable domains
+    (UT1 and friends) match correctly on co.nz/com.sg/wildcard hosts
+    only under PSL rules.
     """
-    flags = url_quality_flags(F.col(url_col))
+    flags = url_quality_flags(F.col(url_col), psl=psl)
     scored = docs.select(
         "*", *(v.alias(k) for k, v in flags.items())
     ).where(

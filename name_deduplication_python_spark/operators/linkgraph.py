@@ -15,11 +15,13 @@ counts ever reach the driver.
 Semantics (fixed, engine-replayable):
   r_0(v)     = 1/N                       over all hosts in the edge set
   r_{i+1}(v) = (1-d)/N + d * sum_{(u,v) in E} r_i(u) / out(u)
-Dangling mass is NOT redistributed (ranks sum to < 1 when sinks exist);
-this keeps every iteration a pure join+aggregate that replays exactly in
-any SQL engine — the variant is documented and the ORDERING, which is
-what curation consumes, matches the redistributing variant on graphs
-whose sinks are not rank-dominant.
+Dangling mass is NOT redistributed by default (ranks sum to < 1 when
+sinks exist); this keeps every iteration a pure join+aggregate that
+replays exactly in any SQL engine — the ORDERING, which is what curation
+consumes, matches the redistributing variant on graphs whose sinks are
+not rank-dominant. ``pagerank(redistribute_dangling=True)`` opts into
+the classic correction (ranks sum to exactly 1, comparable across
+graphs) with one extra 1-row aggregate + broadcast join per iteration.
 
 Scale shape at 10^12 docs / ~10^8 hosts:
   * extraction is map-only (decode + regexp_extract_all + explode);
@@ -99,11 +101,27 @@ def pagerank(
     damping: float = 0.85,
     src_col: str = "src",
     dst_col: str = "dst",
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a distinct edge DataFrame: returns
     (node, pagerank) for every node appearing as src or dst, pagerank
     rounded to 6 places (cross-engine float drift from summation order
     lives far below that).
+
+    redistribute_dangling=False (default, the oracle-replayable variant):
+    dangling mass is dropped — every iteration is a pure join+aggregate
+    (the module docstring's semantics). True adds the classic correction
+    (Brin & Page 1998): each iteration spreads the total rank sitting on
+    out-degree-0 nodes uniformly,
+
+        r_{i+1}(v) = (1-d)/N + d * (sum_{(u,v)} r_i(u)/out(u) + D_i/N),
+        D_i = sum over dangling u of r_i(u)
+
+    so ranks sum to exactly 1 and are comparable ACROSS graphs (curation
+    consumers weighting several crawls need that calibration; within one
+    graph the ordering rarely differs unless sinks are rank-dominant).
+    The dangling mass stays distributed: D_i is a 1-row aggregate joined
+    back by broadcast crossJoin — nothing new reaches the driver.
 
     Two scalars reach the driver (the node count; plus localCheckpoint's
     materialization per iteration) — ranks and edges stay distributed
@@ -128,6 +146,15 @@ def pagerank(
         return nodes.withColumn("pagerank", F.lit(0.0))
     outdeg = e.groupBy("src").agg(F.count("*").alias("_out"))
     contrib_edges = e.join(outdeg, "src").localCheckpoint()
+    dangling_nodes = None
+    if redistribute_dangling:
+        # out-degree-0 nodes, computed once (iterations only re-aggregate
+        # their current rank mass — one tiny semi join + 1-row agg each)
+        dangling_nodes = (
+            nodes.join(outdeg, nodes.node == outdeg.src, "anti")
+            .select("node")
+            .localCheckpoint()
+        )
     base = damping  # teleport term uses (1-d)/N
     ranks = nodes.select("node", F.lit(1.0 / n).alias("_r"))
     for _ in range(iterations):
@@ -136,15 +163,27 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum(F.col("_r") / F.col("_out")).alias("_c"))
         )
-        ranks = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
-            .select(
+        nxt = nodes.join(contrib, nodes.node == contrib.dst, "left")
+        if redistribute_dangling:
+            dm = (
+                ranks.join(dangling_nodes, "node", "semi")
+                .agg(F.coalesce(F.sum("_r"), F.lit(0.0)).alias("_dm"))
+            )
+            nxt = nxt.crossJoin(F.broadcast(dm)).select(
+                "node",
+                (
+                    F.lit((1.0 - base) / n)
+                    + F.lit(base)
+                    * (F.coalesce("_c", F.lit(0.0)) + F.col("_dm") / n)
+                ).alias("_r"),
+            )
+        else:
+            nxt = nxt.select(
                 "node",
                 (
                     F.lit((1.0 - base) / n)
                     + F.lit(base) * F.coalesce("_c", F.lit(0.0))
                 ).alias("_r"),
             )
-            .localCheckpoint()
-        )
+        ranks = nxt.localCheckpoint()
     return ranks.select("node", F.round("_r", 6).alias("pagerank"))

@@ -41,12 +41,22 @@ def cumulative_tokens(
     strata_col: str = "lang",
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """(id, stratum, n_tokens, cum_tokens): the exact per-stratum
     running token total in md5(id) priority order, computed with the
     two-pass bucketed plan described in the module docstring. Shared
-    kernel of token_budget_sample and assign_shards."""
-    toks = F.size(F.split(F.trim(F.col(text_col)), " "))
+    kernel of token_budget_sample and assign_shards.
+
+    tokens_col: a PRECOMPUTED per-document token-count column to use
+    instead of the whitespace split — the hand-off for real-tokenizer
+    accounting (functions/bpe.bpe_token_counts adds such a column;
+    budgets then mean BPE tokens, not whitespace tokens)."""
+    toks = (
+        F.col(tokens_col)
+        if tokens_col is not None
+        else F.size(F.split(F.trim(F.col(text_col)), " "))
+    )
     base = docs.select(
         F.col(id_col).alias("id"),
         F.col(strata_col).alias("stratum"),
@@ -93,6 +103,7 @@ def token_budget_sample(
     id_col: str = "doc_id",
     text_col: str = "text",
     budgets: DataFrame | None = None,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Documents whose running token total (in md5(id) priority order
     within each stratum) stays within the stratum's budget.
@@ -113,7 +124,8 @@ def token_budget_sample(
             "(per-stratum frame)"
         )
     cum = cumulative_tokens(
-        docs, strata_col=strata_col, id_col=id_col, text_col=text_col
+        docs, strata_col=strata_col, id_col=id_col, text_col=text_col,
+        tokens_col=tokens_col,
     )
     if budgets is None:
         kept = cum.where(F.col("cum_tokens") <= budget_tokens)
@@ -141,6 +153,7 @@ def assign_shards(
     strata_col: str = "lang",
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Greedy shard packing for a training data loader: documents fill
     per-stratum shards of ~`tokens_per_shard` tokens in md5(id) priority
@@ -150,9 +163,11 @@ def assign_shards(
 
     Returns (id_col, strata_col, n_tokens, shard_id) with shard_id
     dense from 0 within each stratum. Same two-pass cumulative-sum
-    plan as token_budget_sample — no per-stratum global sort."""
+    plan as token_budget_sample — no per-stratum global sort.
+    tokens_col: precomputed token counts (see cumulative_tokens)."""
     cum = cumulative_tokens(
-        docs, strata_col=strata_col, id_col=id_col, text_col=text_col
+        docs, strata_col=strata_col, id_col=id_col, text_col=text_col,
+        tokens_col=tokens_col,
     )
     return cum.select(
         F.col("id").alias(id_col),

@@ -1914,6 +1914,65 @@ FROM n LEFT JOIN dup ON n.vec_id = dup.vec_id
 
 
 # --------------------------------------------------------------------------
+# 38b. semantic_dedup_chain_docs — the round-6 mode='chain' keep rule
+#     over the same materialized assignment view: connected components
+#     over the thresholded within-list similarity edges, keep exactly
+#     each component's min id (one survivor per TRANSITIVE semantic
+#     group; the prune rule can keep both ends of an A~B~C chain when
+#     the middle doc has the largest id). Oracle = the cc_clusters
+#     recursive min-label closure applied to the cosine edge set.
+# --------------------------------------------------------------------------
+
+
+def q_semantic_dedup_chain_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ann import semantic_assign, semantic_dedup
+
+    assigned = semantic_assign(
+        _emb(spark, sf_dir),
+        n_lists=_SEMDEDUP_LISTS,
+        seed=DEFAULT_CONFIG["seed"],
+    )
+    base = os.path.join(
+        _SEMDEDUP_VIEW_ROOT, os.path.basename(os.path.normpath(sf_dir))
+    )
+    view = _refresh_view(assigned, base)
+    assigned = spark.read.parquet(view)
+    return semantic_dedup(
+        assigned,
+        cos_threshold=_SEMDEDUP_THETA,
+        bucket_cap=1_000_000,
+        mode="chain",
+    )
+
+
+SQL_SEMANTIC_DEDUP_CHAIN_DOCS = f"""
+WITH RECURSIVE n AS (
+  SELECT vec_id, list_id, v,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+  FROM read_parquet('{_SEMDEDUP_VIEW_ROOT}/{_SEMDEDUP_ORACLE_SF}/current/*.parquet')
+), e AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM n a JOIN n b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {_SEMDEDUP_THETA}
+), bi AS (
+  SELECT src AS u, dst AS v FROM e
+  UNION
+  SELECT dst AS u, src AS v FROM e
+), reach(u, v) AS (
+  SELECT u, v FROM bi
+  UNION
+  SELECT r.u, b.v FROM reach r JOIN bi b ON r.v = b.u
+), comp AS (
+  SELECT u AS vec_id, least(u, min(v)) AS cluster_id
+  FROM reach GROUP BY u
+)
+SELECT n.vec_id, n.list_id,
+       (comp.cluster_id IS NULL OR comp.cluster_id = n.vec_id)::INT AS is_kept
+FROM n LEFT JOIN comp ON n.vec_id = comp.vec_id
+"""
+
+
+# --------------------------------------------------------------------------
 # 39. dsir_scores — DSIR importance weights (Xie et al. 2023,
 #     arXiv:2302.03169) over the documents table: hashed unigram+bigram
 #     buckets, target = every 17th doc (a stand-in for the user's
@@ -2145,13 +2204,18 @@ LEFT JOIN agg ON agg.src = d.doc_id
 # 42. url_filtered_docs — RefinedWeb-style URL filtering (functions/
 #     urlfilter.py). documents carries no real URLs, so both engines
 #     synthesize the same deterministic URL per doc (digit-farm hosts,
-#     co.uk multi-part TLDs, a planted casino path, a blocklisted
-#     domain) and the survivors-with-scores table is value-compared —
-#     host parsing, public-suffix-lite domains, keyword and digit
-#     scoring, and the blocklist all replayed in DuckDB.
+#     co.uk + com.sg registry suffixes, blogspot private-section hosts,
+#     a planted casino path, blocklisted domains) and the
+#     survivors-with-scores table is value-compared — host parsing,
+#     FULL Public-Suffix-List registrable domains (functions/psl.py,
+#     round 6: the same shipped rule snapshot rendered as a DuckDB
+#     CASE), keyword and digit scoring, and the blocklist all replayed
+#     in DuckDB. src2.com.sg is the PSL-distinguishing blocklist entry:
+#     under the old public-suffix-lite rules its domain collapsed to
+#     'com.sg' and the blocklist could never match it.
 # --------------------------------------------------------------------------
 
-_URLF_BLOCKLIST = ("src3.com", "src5.co.uk")
+_URLF_BLOCKLIST = ("src3.com", "src5.co.uk", "src2.com.sg")
 
 
 def _synth_url() -> "F.Column":
@@ -2159,6 +2223,8 @@ def _synth_url() -> "F.Column":
     host = (
         F.when(did % 13 == 0, F.concat((did * 101).cast("string"), F.lit("0000.net")))
         .when(did % 7 == 0, F.concat(F.col("source"), F.lit(".co.uk")))
+        .when(did % 5 == 0, F.concat(F.col("source"), F.lit(".com.sg")))
+        .when(did % 3 == 0, F.concat(F.col("source"), F.lit(".blogspot.com")))
         .otherwise(F.concat(F.col("source"), F.lit(".com")))
     )
     path = F.when(did % 11 == 0, F.lit("/casino-bonus")).otherwise(
@@ -2168,20 +2234,24 @@ def _synth_url() -> "F.Column":
 
 
 def q_url_filtered_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.psl import load_psl
     from ..functions.urlfilter import filter_urls
 
     docs = _docs(spark, sf_dir).select("doc_id", "source", _synth_url().alias("url"))
-    kept = filter_urls(docs, blocklist=list(_URLF_BLOCKLIST), keep_flags=True)
+    kept = filter_urls(
+        docs, blocklist=list(_URLF_BLOCKLIST), keep_flags=True, psl=load_psl()
+    )
     return kept.select("doc_id", "host", "domain", "kw_hits", "digit_ratio", "url_len")
 
 
+from ..functions.psl import load_psl as _urlf_load_psl  # noqa: E402
+from ..functions.psl import registered_domain_sql as _urlf_rd_sql  # noqa: E402
 from ..functions.urlfilter import BLOCK_KEYWORDS as _URLF_KWS  # noqa: E402
-from ..functions.urlfilter import MULTIPART_TLDS as _URLF_MULTI  # noqa: E402
 
 _URLF_KW_SQL = " + ".join(
     f"(CASE WHEN lower(url) LIKE '%{k}%' THEN 1 ELSE 0 END)" for k in _URLF_KWS
 )
-_URLF_MULTI_SQL = ", ".join(f"'{t}'" for t in _URLF_MULTI)
+_URLF_BL_SQL = ", ".join(f"'{d}'" for d in _URLF_BLOCKLIST)
 
 SQL_URL_FILTERED_DOCS = f"""
 WITH u AS (
@@ -2189,6 +2259,8 @@ WITH u AS (
          'https://'
          || CASE WHEN doc_id % 13 = 0 THEN (doc_id * 101)::VARCHAR || '0000.net'
                  WHEN doc_id % 7 = 0 THEN source || '.co.uk'
+                 WHEN doc_id % 5 = 0 THEN source || '.com.sg'
+                 WHEN doc_id % 3 = 0 THEN source || '.blogspot.com'
                  ELSE source || '.com' END
          || CASE WHEN doc_id % 11 = 0 THEN '/casino-bonus'
                  ELSE '/p/' || doc_id::VARCHAR END AS url
@@ -2198,15 +2270,10 @@ WITH u AS (
          lower(regexp_extract(url,
            '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS host
   FROM u
-), g AS (
-  SELECT doc_id, url, host, string_split(host, '.') AS parts FROM f
 ), d AS (
   SELECT doc_id, url, host,
-         CASE WHEN len(parts) <= 2 THEN host
-              WHEN parts[-2] || '.' || parts[-1] IN ({_URLF_MULTI_SQL})
-                   THEN parts[-3] || '.' || parts[-2] || '.' || parts[-1]
-              ELSE parts[-2] || '.' || parts[-1] END AS domain
-  FROM g
+         {_urlf_rd_sql("host", _urlf_load_psl())} AS domain
+  FROM f
 ), s AS (
   SELECT doc_id, host, domain,
          ({_URLF_KW_SQL})::INT AS kw_hits,
@@ -2218,7 +2285,7 @@ WITH u AS (
 SELECT doc_id, host, domain, kw_hits, digit_ratio, url_len
 FROM s
 WHERE kw_hits <= 0 AND digit_ratio <= 0.5 AND url_len <= 2048
-  AND domain NOT IN ('src3.com', 'src5.co.uk')
+  AND domain NOT IN ({_URLF_BL_SQL})
 """
 
 
@@ -2589,6 +2656,167 @@ r{i} AS (
 
 SQL_HOST_PAGERANK = _pagerank_sql(_PR_ITERS)
 
+
+# --------------------------------------------------------------------------
+# 50b. host_pagerank_dangling — the round-6 redistribute_dangling=True
+#     variant over the SAME derived edge set: each iteration spreads the
+#     rank mass sitting on out-degree-0 nodes uniformly, so ranks sum to
+#     exactly 1 (cross-graph-comparable, the curation-consumer
+#     calibration). The oracle unrolls the same iterations with a
+#     per-iteration dangling-mass scalar subquery — the Spark side keeps
+#     the mass distributed (1-row aggregate + broadcast crossJoin), the
+#     SQL states it as the scalar it is; literals written identically.
+# --------------------------------------------------------------------------
+
+
+def _pr_edges_dangling(docs: DataFrame) -> DataFrame:
+    """Derived edge set WITH genuine sinks: targets are 'snk<residue>'
+    nodes that never appear as sources (the _pr_edges graph has none —
+    every quadratic-residue hub is also a source — so on it the two
+    PageRank variants coincide and the dangling oracle would prove
+    nothing)."""
+    return (
+        docs.select(
+            F.col("source").alias("src"),
+            F.concat(
+                F.lit("snk"),
+                (
+                    (F.col("doc_id") * F.col("doc_id") + _PR_OFF) % _PR_MOD
+                ).cast("string"),
+            ).alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def q_host_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.linkgraph import pagerank
+
+    return pagerank(
+        _pr_edges_dangling(_docs(spark, sf_dir)),
+        iterations=_PR_ITERS,
+        redistribute_dangling=True,
+    ).select(F.col("node").alias("host"), "pagerank")
+
+
+def _pagerank_dangling_sql(iters: int) -> str:
+    head = f"""
+WITH edges AS (
+  SELECT DISTINCT source AS src,
+         'snk' || CAST((doc_id * doc_id + {_PR_OFF}) % {_PR_MOD}
+                       AS VARCHAR) AS dst
+  FROM documents
+), nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+), nn AS (SELECT count(*) AS n FROM nodes),
+outdeg AS (SELECT src, count(*) AS out FROM edges GROUP BY src),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f""",
+dm{i - 1} AS (
+  SELECT coalesce(sum(p.r), 0) AS dm
+  FROM r{i - 1} p LEFT JOIN outdeg o ON o.src = p.node
+  WHERE o.src IS NULL
+),
+r{i} AS (
+  SELECT n.node,
+         (1 - 0.85) / (SELECT n FROM nn)
+           + 0.85 * (coalesce(s.c, 0)
+                     + (SELECT dm FROM dm{i - 1})
+                       / (SELECT n FROM nn)) AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(p.r / o.out) AS c
+    FROM r{i - 1} p
+    JOIN edges e ON e.src = p.node
+    JOIN outdeg o ON o.src = p.node
+    GROUP BY e.dst
+  ) s USING (node)
+)""")
+    return (
+        head
+        + "".join(steps)
+        + f"\nSELECT node AS host, round(r, 6) AS pagerank FROM r{iters}"
+    )
+
+
+SQL_HOST_PAGERANK_DANGLING = _pagerank_dangling_sql(_PR_ITERS)
+
+
+# --------------------------------------------------------------------------
+# 50c. psl_domains — registrable-domain composition under the FULL
+#     Public Suffix List algorithm (functions/psl.py): per-domain doc
+#     and host counts over synthesized URLs that exercise every rule
+#     kind — a wildcard registry (*.ck), a wildcard+exception family
+#     (city.kawasaki.jp), plain 2-level registry rules (co.nz, com.sg
+#     behind extra subdomain labels), a private-section rule
+#     (blogspot.com), and the default '*' rule. The oracle renders the
+#     SAME shipped rule snapshot as a DuckDB CASE (psl.
+#     registered_domain_sql) — rule-for-rule value parity, aggregated.
+# --------------------------------------------------------------------------
+
+
+def _psl_synth_host() -> "F.Column":
+    did = F.col("doc_id")
+    src = F.col("source")
+    return (
+        F.when(did % 17 == 0, F.concat(F.lit("x."), src, F.lit(".ck")))
+        .when(did % 13 == 0, F.concat(src, F.lit(".city.kawasaki.jp")))
+        .when(did % 7 == 0, F.concat(src, F.lit(".co.nz")))
+        .when(did % 5 == 0, F.concat(F.lit("a.b."), src, F.lit(".com.sg")))
+        .when(did % 3 == 0, F.concat(src, F.lit(".blogspot.com")))
+        .otherwise(F.concat(F.lit("www."), src, F.lit(".com")))
+    )
+
+
+_PSL_SYNTH_HOST_SQL = """
+CASE WHEN doc_id % 17 = 0 THEN 'x.' || source || '.ck'
+     WHEN doc_id % 13 = 0 THEN source || '.city.kawasaki.jp'
+     WHEN doc_id % 7 = 0 THEN source || '.co.nz'
+     WHEN doc_id % 5 = 0 THEN 'a.b.' || source || '.com.sg'
+     WHEN doc_id % 3 = 0 THEN source || '.blogspot.com'
+     ELSE 'www.' || source || '.com' END
+"""
+
+
+def q_psl_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.psl import load_psl, registered_domain_expr
+
+    rules = load_psl()
+    hosts = _docs(spark, sf_dir).select(
+        "doc_id", _psl_synth_host().alias("host")
+    )
+    return (
+        hosts.withColumn(
+            "domain", registered_domain_expr(F.col("host"), rules)
+        )
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("host").alias("n_hosts"),
+        )
+    )
+
+
+def _psl_domains_sql() -> str:
+    from ..functions.psl import load_psl, registered_domain_sql
+
+    return f"""
+WITH h AS (
+  SELECT doc_id, ({_PSL_SYNTH_HOST_SQL}) AS host FROM documents
+), d AS (
+  SELECT doc_id, host,
+         {registered_domain_sql("host", load_psl())} AS domain
+  FROM h
+)
+SELECT domain, count(*) AS n_docs, count(DISTINCT host) AS n_hosts
+FROM d GROUP BY domain
+"""
+
+
+SQL_PSL_DOMAINS = _psl_domains_sql()
+
+
 # --------------------------------------------------------------------------
 # 51. source_quality_report — the reference is at heart a REPORT generator
 #     (A5/A6 summary stats, /root/reference/analysis_engine.py); this is
@@ -2760,6 +2988,9 @@ QUERIES = {
     "source_overlap_matrix": q_source_overlap_matrix,
     "source_overlap_kmv": q_source_overlap_kmv,
     "host_pagerank": q_host_pagerank,
+    "host_pagerank_dangling": q_host_pagerank_dangling,
+    "semantic_dedup_chain_docs": q_semantic_dedup_chain_docs,
+    "psl_domains": q_psl_domains,
     "source_quality_report": q_source_quality_report,
     "source_mixture_weights": q_source_mixture_weights,
 }
@@ -2833,6 +3064,9 @@ ORACLES = {
     # order is engine-independent), not merely the exact answer
     "source_overlap_kmv": SQL_SOURCE_OVERLAP_KMV,
     "host_pagerank": SQL_HOST_PAGERANK,
+    "host_pagerank_dangling": SQL_HOST_PAGERANK_DANGLING,
+    "semantic_dedup_chain_docs": SQL_SEMANTIC_DEDUP_CHAIN_DOCS,
+    "psl_domains": SQL_PSL_DOMAINS,
     "source_quality_report": SQL_SOURCE_QUALITY_REPORT,
     "source_mixture_weights": SQL_SOURCE_MIXTURE_WEIGHTS,
 }

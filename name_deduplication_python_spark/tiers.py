@@ -62,10 +62,15 @@ def tiered_dedup(
     config: dict | None = None,
     cos_threshold: float = 0.95,
     n_lists: int = 16,
+    semantic_mode: str = "prune",
 ) -> tuple[DataFrame, dict]:
     """Run the requested tiers (any subset of TIER_ORDER, always applied
     in canonical order) over docs (id_col, text_col, ...). The
-    'semantic' tier requires `embeddings` (id_col, vec_col). Returns
+    'semantic' tier requires `embeddings` (id_col, vec_col);
+    semantic_mode picks its keep rule — 'prune' (SemDeDup smaller-id
+    NOT-EXISTS, the oracle-mirrorable default) or 'chain' (connected
+    components over the similarity edges: one survivor per TRANSITIVE
+    semantic group — see operators/ann.semantic_dedup). Returns
     (survivors, stats): survivors carries the input columns with
     text_col rewritten by the line/span tiers; stats records
     n_input, per-tier n_out (and n_rewritten for rewrite tiers), and
@@ -120,7 +125,10 @@ def tiered_dedup(
         # to semantic dedup). Coverage is reported so a thin embeddings
         # table is visible in the stats.
         dropped = semantic_dedup(
-            assigned, id_col=id_col, cos_threshold=cos_threshold
+            assigned,
+            id_col=id_col,
+            cos_threshold=cos_threshold,
+            mode=semantic_mode,
         ).where(F.col("is_kept") == 0)
         stats["semantic_n_covered"] = assigned.count()
         cur = cur.join(dropped.select(id_col), id_col, "left_anti").persist()

@@ -98,6 +98,7 @@ def build_training_set(
     c4_clean: bool = False,
     c4_badwords: tuple | None = None,
     mixture_alpha: float | None = None,
+    token_counter=None,
 ) -> tuple[DataFrame, dict]:
     """Run the full funnel over `docs` (doc_id, text, <strata_col>).
 
@@ -121,6 +122,14 @@ def build_training_set(
                    toward; with dsir_top_k, keeps the k surviving docs
                    drawn by DSIR Gumbel-top-k importance resampling
                    (both must be set; None skips the stage).
+    token_counter  custom token accounting for budgets/mixing/shards:
+                   f(docs, text_col, out_col) -> docs + counted out_col
+                   (functions/bpe.token_counter(merges) makes budgets
+                   mean real BPE tokens; functions/bpe.
+                   whitespace_token_counter() is the explicit default).
+                   None keeps the native whitespace count. The counted
+                   column feeds sampler ops via tokens_col, so shard
+                   sizes and total_tokens report the SAME unit.
 
     Returns (shards_df, stats): shards_df is (doc_id, <strata_col>,
     text, n_tokens, shard_id) with PII scrubbed; stats counts the
@@ -261,10 +270,20 @@ def build_training_set(
     # With mixture_alpha the TOTAL budget splits across strata by
     # temperature-based mixing (sampler.mixture_weights over the
     # post-clean token mass); otherwise the budget caps every stratum.
+    tokens_col = None
+    if token_counter is not None:
+        # count ONCE on the scrubbed frame; every downstream consumer
+        # (mixture mass, budget cumsum, shard packing) reads the column
+        scrubbed = token_counter(scrubbed, "text", "_counted_tokens")
+        tokens_col = "_counted_tokens"
     if budget_tokens is not None and mixture_alpha is not None:
         per_doc = scrubbed.select(
             strata_col,
-            F.size(F.split(F.trim("text"), " ")).alias("n_tokens"),
+            (
+                F.col(tokens_col)
+                if tokens_col is not None
+                else F.size(F.split(F.trim("text"), " "))
+            ).alias("n_tokens"),
         )
         caps = mixture_weights(
             per_doc,
@@ -276,18 +295,21 @@ def build_training_set(
             strata_col, F.col("expected_tokens").alias("budget_tokens")
         )
         picked = token_budget_sample(
-            scrubbed, None, strata_col=strata_col, budgets=caps
+            scrubbed, None, strata_col=strata_col, budgets=caps,
+            tokens_col=tokens_col,
         )
         sampled = scrubbed.join(picked.select("doc_id"), "doc_id")
     elif budget_tokens is not None:
         picked = token_budget_sample(
-            scrubbed, budget_tokens, strata_col=strata_col
+            scrubbed, budget_tokens, strata_col=strata_col,
+            tokens_col=tokens_col,
         )
         sampled = scrubbed.join(picked.select("doc_id"), "doc_id")
     else:
         sampled = scrubbed
     shards = (
-        assign_shards(sampled, tokens_per_shard, strata_col=strata_col)
+        assign_shards(sampled, tokens_per_shard, strata_col=strata_col,
+                      tokens_col=tokens_col)
         .join(sampled.select("doc_id", "text"), "doc_id")
         # eager: one execution serves both the stats aggregate below and
         # the caller's write; lets the funnel caches be dropped here

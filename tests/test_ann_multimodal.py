@@ -390,6 +390,56 @@ def test_semantic_dedup_closed_form_rule(spark):
     assert out[20] == 1                       # orthogonal singleton kept
 
 
+def test_semantic_dedup_chain_mode_one_survivor_per_group(spark):
+    """VERDICT r5 #7: mode='chain' keeps exactly ONE doc per TRANSITIVE
+    semantic group. Planted A~B~C chain (cos(A,B) and cos(B,C) above the
+    threshold, cos(A,C) below) with ids ordered A < C < B — the prune
+    rule keeps BOTH chain ends (C's only similar neighbor B has a larger
+    id), the chain rule keeps only the component minimum A."""
+    import math
+
+    import numpy as np
+
+    from name_deduplication_python_spark.operators.ann import (
+        semantic_assign, semantic_dedup,
+    )
+
+    theta = 0.9
+    a = math.radians(20)  # cos 20deg ~ 0.94 >= 0.9; cos 40deg ~ 0.766 < 0.9
+    vec_a = [1.0, 0.0, 0.0, 0.0]
+    vec_b = [math.cos(a), math.sin(a), 0.0, 0.0]
+    vec_c = [math.cos(2 * a), math.sin(2 * a), 0.0, 0.0]
+    ortho = [0.0, 0.0, 1.0, 0.0]
+    # ids: A=1 < C=2 < B=3 (B is the chain MIDDLE), plus an orthogonal 9
+    emb = spark.createDataFrame(
+        [(1, vec_a), (3, vec_b), (2, vec_c), (9, ortho)],
+        ["vec_id", "embedding"],
+    )
+    assigned = semantic_assign(emb, n_lists=1, seed=1)
+
+    pruned = {
+        r.vec_id: r.is_kept
+        for r in semantic_dedup(assigned, cos_threshold=theta).collect()
+    }
+    chained = {
+        r.vec_id: r.is_kept
+        for r in semantic_dedup(
+            assigned, cos_threshold=theta, mode="chain"
+        ).collect()
+    }
+    assert len(pruned) == len(chained) == 4
+    # prune: B dropped (smaller similar A and C exist); C kept (its only
+    # similar neighbor B has a LARGER id) -> two chain survivors
+    assert pruned == {1: 1, 2: 1, 3: 0, 9: 1}
+    # chain: {1,2,3} is one component -> exactly its min id survives
+    assert chained == {1: 1, 2: 0, 3: 0, 9: 1}
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        semantic_dedup(assigned, mode="greedy")
+
+
 def _png(rows_px, color_type, filters, plte=None):
     """Independent minimal PNG encoder for the tests: applies the RFC 2083
     FORWARD filter per row (the decoder must invert it exactly), real

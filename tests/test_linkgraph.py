@@ -186,3 +186,70 @@ def test_linkgraph_plans_are_python_free(spark):
         plan = frame._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+def _reference_pagerank_dangling(edges, iterations, d=0.85):
+    """Plain-python loop WITH dangling-mass redistribution (Brin & Page
+    1998 correction): D_i spread uniformly each iteration."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(nodes)
+    out = {}
+    for u, _ in edges:
+        out[u] = out.get(u, 0) + 1
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(iterations):
+        dm = sum(r[v] for v in nodes if v not in out)
+        contrib = {v: 0.0 for v in nodes}
+        for u, v in edges:
+            contrib[v] += r[u] / out[u]
+        r = {v: (1 - d) / n + d * (contrib[v] + dm / n) for v in nodes}
+    return r
+
+
+@pytest.mark.parametrize("iterations", [1, 4])
+def test_pagerank_redistribute_dangling_matches_reference(spark, iterations):
+    """VERDICT r5 next-round #6: the opt-in dangling-mass variant must
+    match the plain-python redistributing loop and conserve total rank
+    (sum == 1) on graphs with sinks."""
+    for seed in (3, 42):
+        import random
+
+        rng = random.Random(seed)
+        n = rng.randint(5, 10)
+        edges = sorted(
+            {
+                (f"n{rng.randint(0, n)}", f"n{rng.randint(0, n)}")
+                for _ in range(2 * n)
+            }
+        )
+        edges = [(u, v) for u, v in edges if u != v]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {
+            r["node"]: r["pagerank"]
+            for r in pagerank(
+                df, iterations=iterations, redistribute_dangling=True
+            ).collect()
+        }
+        want = _reference_pagerank_dangling(edges, iterations)
+        assert set(got) == set(want), f"seed {seed}"
+        for v in want:
+            assert got[v] == pytest.approx(want[v], abs=1e-6), f"seed {seed}"
+        # ranks are a probability distribution under redistribution
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-4), f"seed {seed}"
+
+
+def test_pagerank_dangling_variant_no_sinks_identical(spark):
+    """With zero dangling nodes the two variants are the SAME recurrence:
+    results must be bit-identical at the rounded precision."""
+    edges = [("a", "b"), ("b", "c"), ("c", "a")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    plain = {
+        r["node"]: r["pagerank"] for r in pagerank(df, iterations=5).collect()
+    }
+    redist = {
+        r["node"]: r["pagerank"]
+        for r in pagerank(
+            df, iterations=5, redistribute_dangling=True
+        ).collect()
+    }
+    assert plain == redist
