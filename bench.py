@@ -96,6 +96,7 @@ HEADLINE_QUERIES = [
     "psl_domains",
     "host_pagerank_dangling",
     "semantic_dedup_chain_docs",
+    "gopher_repetition_flags",
 ]
 
 

@@ -2818,6 +2818,114 @@ SQL_PSL_DOMAINS = _psl_domains_sql()
 
 
 # --------------------------------------------------------------------------
+# 50d. gopher_repetition_flags — the repetition half of the Gopher rules
+#     (operators/repetition.py; Rae et al. 2021 Appendix A), round 6.
+#     Multi-line pages are derived from the single-line corpus with the
+#     established regexp_replace trick plus two planted failure modes
+#     (a duplicated promo line on doc_id%6, a repeated 5-gram block on
+#     doc_id%4). The driver query runs the {2-gram top, 5-gram dup}
+#     subset so the oracle stays two unnests; the full 2..10 table is
+#     reference-parity-tested in tests/test_repetition.py. Every
+#     fraction and the gate conjunction replay in DuckDB (grams via
+#     list comprehension + unnest, top gram via lexicographic list max
+#     — the same (count, length) ordering Spark's struct max uses).
+# --------------------------------------------------------------------------
+
+_REP_PROMO = "promo line"
+_REP_BLOCK = "alpha beta gamma delta epsilon "
+
+
+def _rep_page() -> "F.Column":
+    d = F.col("doc_id")
+    return F.concat(
+        F.regexp_replace(F.col("text"), " (the|a) ", "\n"),
+        F.when(
+            d % 6 == 0, F.lit(f"\n{_REP_PROMO}\n{_REP_PROMO}")
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 4 == 0, F.lit(" " + _REP_BLOCK * 2 + "zz")
+        ).otherwise(F.lit("")),
+    )
+
+
+def q_gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.repetition import repetition_flags
+
+    pages = (
+        _docs(spark, sf_dir)
+        .where(F.col("text").isNotNull())
+        .select("doc_id", _rep_page().alias("text"))
+    )
+    return repetition_flags(pages, top_ns=(2,), dup_ns=(5,))
+
+
+SQL_GOPHER_REPETITION_FLAGS = """
+WITH p AS (
+  SELECT doc_id,
+         regexp_replace(text, ' (the|a) ', chr(10), 'g')
+         || CASE WHEN doc_id % 6 = 0
+                 THEN chr(10) || 'promo line' || chr(10) || 'promo line'
+                 ELSE '' END
+         || CASE WHEN doc_id % 4 = 0
+                 THEN ' ' || repeat('alpha beta gamma delta epsilon ', 2) || 'zz'
+                 ELSE '' END AS text
+  FROM documents WHERE text IS NOT NULL
+), lr AS (
+  SELECT doc_id,
+         round(coalesce(sum(cnt) FILTER (cnt > 1), 0)
+               / sum(cnt), 4) AS dup_line_frac,
+         round(coalesce(sum(len(line) * cnt) FILTER (cnt > 1), 0)
+               / greatest(sum(len(line) * cnt), 1), 4) AS dup_line_char_frac
+  FROM (
+    SELECT doc_id, line, count(*) AS cnt
+    FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM p)
+    WHERE trim(line) <> '' GROUP BY doc_id, line
+  ) GROUP BY doc_id
+), t2 AS (
+  SELECT doc_id, max([cnt, len(g)]) AS m
+  FROM (
+    SELECT doc_id, g, count(*) AS cnt FROM (
+      SELECT doc_id,
+             unnest([array_to_string(toks[i:i+1], ' ')
+                     FOR i IN range(1, len(toks))]) AS g
+      FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM p)
+    ) GROUP BY doc_id, g
+  ) GROUP BY doc_id
+), d5 AS (
+  SELECT doc_id, sum(cnt * len(g)) AS dup_mass
+  FROM (
+    SELECT doc_id, g, count(*) AS cnt FROM (
+      SELECT doc_id,
+             unnest([array_to_string(toks[i:i+4], ' ')
+                     FOR i IN range(1, len(toks) - 3)]) AS g
+      FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM p)
+    ) GROUP BY doc_id, g
+  ) WHERE cnt > 1 GROUP BY doc_id
+), f AS (
+  SELECT p.doc_id,
+         coalesce(lr.dup_line_frac, 0.0) AS dup_line_frac,
+         coalesce(lr.dup_line_char_frac, 0.0) AS dup_line_char_frac,
+         round(least(coalesce(t2.m[1] * t2.m[2], 0)
+                     / greatest(len(p.text), 1), 1.0), 4)
+           AS top_2gram_char_frac,
+         round(least(coalesce(d5.dup_mass, 0)
+                     / greatest(len(p.text), 1), 1.0), 4)
+           AS dup_5gram_char_frac
+  FROM p
+  LEFT JOIN lr USING (doc_id)
+  LEFT JOIN t2 USING (doc_id)
+  LEFT JOIN d5 USING (doc_id)
+)
+SELECT doc_id, dup_line_frac, dup_line_char_frac, top_2gram_char_frac,
+       dup_5gram_char_frac,
+       (dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
+        AND top_2gram_char_frac <= 0.20
+        AND dup_5gram_char_frac <= 0.15)::INT AS passes_gopher_repetition
+FROM f
+"""
+
+
+# --------------------------------------------------------------------------
 # 51. source_quality_report — the reference is at heart a REPORT generator
 #     (A5/A6 summary stats, /root/reference/analysis_engine.py); this is
 #     the web-domain composition report: per source, volume, exact-dup
@@ -2990,6 +3098,7 @@ QUERIES = {
     "host_pagerank": q_host_pagerank,
     "host_pagerank_dangling": q_host_pagerank_dangling,
     "semantic_dedup_chain_docs": q_semantic_dedup_chain_docs,
+    "gopher_repetition_flags": q_gopher_repetition_flags,
     "psl_domains": q_psl_domains,
     "source_quality_report": q_source_quality_report,
     "source_mixture_weights": q_source_mixture_weights,
@@ -3066,6 +3175,7 @@ ORACLES = {
     "host_pagerank": SQL_HOST_PAGERANK,
     "host_pagerank_dangling": SQL_HOST_PAGERANK_DANGLING,
     "semantic_dedup_chain_docs": SQL_SEMANTIC_DEDUP_CHAIN_DOCS,
+    "gopher_repetition_flags": SQL_GOPHER_REPETITION_FLAGS,
     "psl_domains": SQL_PSL_DOMAINS,
     "source_quality_report": SQL_SOURCE_QUALITY_REPORT,
     "source_mixture_weights": SQL_SOURCE_MIXTURE_WEIGHTS,

@@ -99,6 +99,7 @@ def build_training_set(
     c4_badwords: tuple | None = None,
     mixture_alpha: float | None = None,
     token_counter=None,
+    gopher_repetition: bool = False,
 ) -> tuple[DataFrame, dict]:
     """Run the full funnel over `docs` (doc_id, text, <strata_col>).
 
@@ -122,6 +123,12 @@ def build_training_set(
                    toward; with dsir_top_k, keeps the k surviving docs
                    drawn by DSIR Gumbel-top-k importance resampling
                    (both must be set; None skips the stage).
+    gopher_repetition  also apply the Gopher REPETITION rules
+                   (operators/repetition.py: dup lines, top/dup n-gram
+                   char fractions) after the outlier conjunction; adds
+                   an n_repetition funnel counter. Off by default (the
+                   n-gram explodes are the funnel's most expensive
+                   quality signal - enable when curating raw crawl).
     token_counter  custom token accounting for budgets/mixing/shards:
                    f(docs, text_col, out_col) -> docs + counted out_col
                    (functions/bpe.token_counter(merges) makes budgets
@@ -195,12 +202,18 @@ def build_training_set(
         survivors = c4_clean_documents(survivors, **kwargs)
         n_c4 = survivors.count()
 
-    # 3. Gopher quality filter.
+    # 3. Gopher quality filter (outlier rules; optionally + repetition).
     flags = gopher_flags(F.col("text"))
     quality = survivors.where(
         flags["passes_gopher"].cast("boolean")
     )
     n_quality = quality.count()
+    n_repetition = None
+    if gopher_repetition:
+        from .operators.repetition import filter_repetitive
+
+        quality = filter_repetitive(quality, id_col="doc_id")
+        n_repetition = quality.count()
 
     # 4. decontamination (broadcast eval grams; map-only corpus side).
     if eval_docs is not None:
@@ -330,6 +343,7 @@ def build_training_set(
         "n_clusters": n_clusters,
         **({} if n_c4 is None else {"n_c4": n_c4}),
         "n_quality": n_quality,
+        **({} if n_repetition is None else {"n_repetition": n_repetition}),
         "n_clean": n_clean,
         "n_sampled": int(agg["n"]),
         "n_shards": int(agg["n_shards"]),

@@ -346,3 +346,30 @@ def test_build_training_set_config_passthrough(spark):
     _, stats_strict = build_training_set(spark, docs, config=strict_config())
     assert stats_strict["n_clusters"] == 12  # every planted pair kept apart
     assert stats_default["n_clusters"] < 12  # the disclosed OR-semantics leak
+
+
+def test_funnel_gopher_repetition_stage(spark):
+    """Opt-in repetition filter: a Gopher-outlier-passing doc made of one
+    repeated 5-gram block is dropped only when gopher_repetition=True."""
+    repetitive = ("alpha beta gamma delta epsilon " * 14) + "the and end"
+    # NOT _BASE_A: the module bases are themselves x3-repeated passages,
+    # which the repetition rules correctly gate — the control doc must
+    # be genuinely non-repetitive prose
+    clean = (
+        "the quick brown fox jumps over one lazy dog near a very old "
+        "green river bank while birds sing softly above tall trees and "
+        "children walk slowly home from school carrying heavy books "
+        "about distant lands where sailors cross wide oceans under "
+        "bright stars to trade spices silk and silver with merchants "
+        "who travel by camel through deserts toward ancient cities"
+    )
+    docs = spark.createDataFrame(
+        [(1, "en", clean), (2, "en", repetitive)],
+        ["doc_id", "lang", "text"],
+    )
+    _, stats_off = build_training_set(spark, docs)
+    assert "n_repetition" not in stats_off and stats_off["n_sampled"] == 2
+    shards, stats_on = build_training_set(spark, docs, gopher_repetition=True)
+    assert stats_on["n_quality"] == 2
+    assert stats_on["n_repetition"] == 1
+    assert {r.doc_id for r in shards.collect()} == {1}
