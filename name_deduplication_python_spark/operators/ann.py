@@ -505,11 +505,18 @@ def semantic_dedup(
     if mode == "chain":
         from .components import components_with_singletons
 
+        # CC consumes the edge set several times (count probe, label
+        # kernel, relabel join) and each consumer would otherwise
+        # re-execute the bucket join + cosine scoring — materialize once
+        sim = sim.localCheckpoint()
         comp = components_with_singletons(
             sim,
             assigned.select(F.col(id_col).alias("url")),
             "url",
             ids_unique=True,
+            # candidate_pairs emits canonical src<dst distinct pairs and
+            # the cosine filter only narrows — skip CC's distinct shuffle
+            edges_distinct=True,
         )
         return (
             assigned.select(id_col, "list_id")
