@@ -10,6 +10,9 @@ Signals, per document (the published thresholds in GOPHER_REP_THRESHOLDS):
                         more than once in the document        (<= 0.30)
   dup_line_char_frac    fraction of line characters sitting in such
                         duplicated lines                      (<= 0.20)
+  dup_para_frac         same pair over PARAGRAPHS (blank-line-separated
+                        blocks), when paragraphs=True         (<= 0.30)
+  dup_para_char_frac                                          (<= 0.20)
   top_{2,3,4}gram_char_frac   fraction of text characters covered by
                         occurrences of the single most frequent word
                         n-gram                 (<= 0.20 / 0.18 / 0.16)
@@ -52,6 +55,8 @@ from pyspark.sql import functions as F
 GOPHER_REP_THRESHOLDS = {
     "dup_line_frac": 0.30,
     "dup_line_char_frac": 0.20,
+    "dup_para_frac": 0.30,
+    "dup_para_char_frac": 0.20,
     "top_2gram_char_frac": 0.20,
     "top_3gram_char_frac": 0.18,
     "top_4gram_char_frac": 0.16,
@@ -101,53 +106,65 @@ def repetition_flags(
     text_col: str = "text",
     top_ns: tuple = TOP_NS,
     dup_ns: tuple = DUP_NS,
+    paragraphs: bool = False,
 ) -> DataFrame:
     """(id_col, <signal columns>, passes_gopher_repetition) for every
     input document. Signals and thresholds per the module docstring;
     `passes_gopher_repetition` is the conjunction over the REQUESTED
-    subset (untested signals don't gate). Fractions rounded to 4 places
-    (cross-engine float hygiene, same as the other stats ops)."""
+    subset (untested signals don't gate). paragraphs=True adds the
+    dup-paragraph pair (paragraph = maximal block between blank lines,
+    the Gopher formulation; single-paragraph docs trivially pass).
+    Fractions rounded to 4 places (cross-engine float hygiene, same as
+    the other stats ops)."""
     base = docs.select(
         F.col(id_col).alias("id"),
         F.length(F.col(text_col)).alias("_chars"),
         F.col(text_col).alias("_t"),
     )
 
-    # ---- line rules: per-(doc, line) counts -> one row per doc --------
-    lines = (
-        base.select(
-            "id", F.explode(F.split("_t", r"\r?\n")).alias("line")
+    def _block_fracs(split_pat: str, kind: str):
+        """Per-doc dup fractions over text blocks (lines or paragraphs):
+        per-(doc, block) counts -> one row per doc."""
+        return (
+            base.select(
+                "id", F.explode(F.split("_t", split_pat)).alias("blk")
+            )
+            .where(F.trim("blk") != "")
+            .groupBy("id", "blk")
+            .agg(F.count("*").alias("cnt"))
+            .groupBy("id")
+            .agg(
+                F.sum("cnt").alias("_n"),
+                F.sum(
+                    F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)
+                ).alias("_n_dup"),
+                F.sum(F.length("blk") * F.col("cnt")).alias("_bchars"),
+                F.sum(
+                    F.when(
+                        F.col("cnt") > 1, F.length("blk") * F.col("cnt")
+                    ).otherwise(0)
+                ).alias("_dup_bchars"),
+            )
+            .select(
+                "id",
+                F.round(F.col("_n_dup") / F.col("_n"), 4).alias(
+                    f"dup_{kind}_frac"
+                ),
+                F.round(
+                    F.col("_dup_bchars")
+                    / F.greatest(F.col("_bchars"), F.lit(1)),
+                    4,
+                ).alias(f"dup_{kind}_char_frac"),
+            )
         )
-        .where(F.trim("line") != "")
-        .groupBy("id", "line")
-        .agg(F.count("*").alias("cnt"))
-        .groupBy("id")
-        .agg(
-            F.sum("cnt").alias("_n_lines"),
-            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias(
-                "_n_dup_lines"
-            ),
-            F.sum(F.length("line") * F.col("cnt")).alias("_line_chars"),
-            F.sum(
-                F.when(
-                    F.col("cnt") > 1, F.length("line") * F.col("cnt")
-                ).otherwise(0)
-            ).alias("_dup_line_chars"),
-        )
-        .select(
-            "id",
-            F.round(F.col("_n_dup_lines") / F.col("_n_lines"), 4).alias(
-                "dup_line_frac"
-            ),
-            F.round(
-                F.col("_dup_line_chars")
-                / F.greatest(F.col("_line_chars"), F.lit(1)),
-                4,
-            ).alias("dup_line_char_frac"),
-        )
-    )
 
-    out = base.select("id", "_chars").join(lines, "id", "left")
+    out = base.select("id", "_chars").join(
+        _block_fracs(r"\r?\n", "line"), "id", "left"
+    )
+    if paragraphs:
+        out = out.join(
+            _block_fracs(r"(\r?\n)(\r?\n)+", "para"), "id", "left"
+        )
     cols = {}
     for n in top_ns:
         g = (
@@ -171,18 +188,13 @@ def repetition_flags(
         out = out.join(g, "id", "left")
         cols[f"dup_{n}gram_char_frac"] = f"_dup{n}"
 
-    sel = [
-        F.col("id").alias(id_col),
-        F.coalesce("dup_line_frac", F.lit(0.0)).alias("dup_line_frac"),
-        F.coalesce("dup_line_char_frac", F.lit(0.0)).alias(
-            "dup_line_char_frac"
-        ),
-    ]
-    gates = [
-        F.col("dup_line_frac") <= GOPHER_REP_THRESHOLDS["dup_line_frac"],
-        F.col("dup_line_char_frac")
-        <= GOPHER_REP_THRESHOLDS["dup_line_char_frac"],
-    ]
+    block_kinds = ["line"] + (["para"] if paragraphs else [])
+    sel = [F.col("id").alias(id_col)]
+    gates = []
+    for kind in block_kinds:
+        for col in (f"dup_{kind}_frac", f"dup_{kind}_char_frac"):
+            sel.append(F.coalesce(col, F.lit(0.0)).alias(col))
+            gates.append(F.col(col) <= GOPHER_REP_THRESHOLDS[col])
     for name, raw in cols.items():
         frac = F.round(
             F.least(

@@ -188,3 +188,35 @@ def F_col(name):
     from pyspark.sql import functions as F
 
     return F.col(name)
+
+
+def test_randomized_hosts_duckdb_matches_reference():
+    """Property check: random hosts synthesized AROUND the snapshot's own
+    rules (rule suffixes with 0-3 random prefix labels, plus rule-free
+    hosts) — the DuckDB rendering must agree with the independent
+    reference algorithm on every one."""
+    import random
+
+    rules = load_psl()
+    rng = random.Random(20260818)
+    pool = sorted(rules.exact) + sorted(
+        "w." + p for p in rules.wildcards
+    ) + sorted(rules.exceptions)
+    hosts = []
+    for _ in range(300):
+        base = rng.choice(pool)
+        labels = [
+            "".join(rng.choice("abcxyz") for _ in range(rng.randint(1, 5)))
+            for _ in range(rng.randint(0, 3))
+        ]
+        hosts.append(".".join(labels + [base]))
+    hosts += ["plainhost", "a.b.c.d.e.nosuchtld"]
+    hosts = sorted(set(hosts))
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE hosts(host VARCHAR)")
+    con.executemany("INSERT INTO hosts VALUES (?)", [(h,) for h in hosts])
+    sql = f"SELECT host, {registered_domain_sql('host', rules)} AS dom FROM hosts"
+    got = dict(con.execute(sql).fetchall())
+    for h in hosts:
+        assert got[h] == _ref_registered_domain(h, rules), h

@@ -129,3 +129,46 @@ def test_subset_selection_gates_only_requested(spark):
     assert out[2]["passes_gopher_repetition"] == 1
     assert out[4]["passes_gopher_repetition"] == 0
     assert "top_2gram_char_frac" not in out[2]
+
+
+def test_paragraph_rules(spark):
+    """paragraphs=True adds the dup-paragraph pair: blocks between blank
+    lines compared whole (internal single newlines stay inside their
+    paragraph)."""
+    import re
+    from collections import Counter
+
+    para_dup = (
+        "first para line one\nfirst para line two\n\n"
+        "repeated block\n\nmiddle unique paragraph\n\nrepeated block"
+    )
+    docs = spark.createDataFrame(
+        [(1, para_dup), (2, "single paragraph only\nwith two lines")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in repetition_flags(
+            docs, top_ns=(), dup_ns=(), paragraphs=True
+        ).collect()
+    }
+
+    def ref_para(text):
+        paras = [p for p in re.split(r"(?:\r?\n){2,}", text) if p.strip()]
+        c = Counter(paras)
+        n_dup = sum(v for v in c.values() if v > 1)
+        chars = sum(len(p) * v for p, v in c.items() if v > 1)
+        tot = sum(len(p) * v for p, v in c.items())
+        return round(n_dup / len(paras), 4), round(chars / max(tot, 1), 4)
+
+    for did, text in [(1, para_dup), (2, "single paragraph only\nwith two lines")]:
+        f, cf = ref_para(text)
+        assert got[did]["dup_para_frac"] == pytest.approx(f, abs=1e-4), did
+        assert got[did]["dup_para_char_frac"] == pytest.approx(cf, abs=1e-4), did
+    # doc 1: 4 paragraphs, 'repeated block' twice -> 0.5 > 0.30 gate
+    assert got[1]["dup_para_frac"] == 0.5
+    assert got[1]["passes_gopher_repetition"] == 0
+    assert got[2]["passes_gopher_repetition"] == 1
+    # paragraphs off: the columns don't exist and don't gate
+    off = repetition_flags(docs, top_ns=(), dup_ns=()).collect()[0].asDict()
+    assert "dup_para_frac" not in off
