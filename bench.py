@@ -97,6 +97,8 @@ HEADLINE_QUERIES = [
     "host_pagerank_dangling",
     "semantic_dedup_chain_docs",
     "gopher_repetition_flags",
+    "eval_leak_report",
+    "source_token_kl",
 ]
 
 

@@ -109,6 +109,61 @@ def flag_contaminated(
     )
 
 
+def eval_leak_report(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per EVAL document: how much of it leaks into the training corpus
+    — the benchmark-owner's view (flag_contaminated is the
+    corpus-owner's view of the same overlap).
+
+    Returns (id_col, n_grams, n_leaking_docs, n_gram_hits) covering
+    EVERY eval document:
+
+      n_grams         distinct n-token grams in the eval doc
+      n_leaking_docs  training documents sharing >= 1 of those grams
+      n_gram_hits     (training doc, shared distinct gram) pairs — the
+                      overlap mass, bounded by n_leaking_docs * n_grams
+
+    Scale shape: the EVAL side is the small one — its (eval_id, gram)
+    pairs broadcast; the training side is one map-only explode into the
+    broadcast join, then ONE aggregate keyed by eval_id (map-side
+    combined; the distinct-train count is exact because the hit stream
+    for one eval id is tiny). The training corpus never shuffles."""
+    ev = doc_ngram_hashes(eval_docs, n=n, id_col=id_col, text_col=text_col)
+    ev_pairs = ev.select(
+        F.col("id").alias("_eval_id"), F.explode("gram_hashes").alias("gram_hash")
+    )
+    tr_pairs = doc_ngram_hashes(
+        train_docs, n=n, id_col=id_col, text_col=text_col
+    ).select(F.col("id").alias("_train_id"), F.explode("gram_hashes").alias("gram_hash"))
+    hits = (
+        tr_pairs.join(F.broadcast(ev_pairs), "gram_hash")
+        .groupBy("_eval_id")
+        .agg(
+            F.countDistinct("_train_id").alias("n_leaking_docs"),
+            F.count("*").alias("n_gram_hits"),
+        )
+    )
+    return (
+        ev.select(F.col("id").alias("_eval_id"), F.size("gram_hashes").alias("n_grams"))
+        .join(hits, "_eval_id", "left")
+        .select(
+            F.col("_eval_id").alias(id_col),
+            "n_grams",
+            F.coalesce("n_leaking_docs", F.lit(0)).cast("int").alias(
+                "n_leaking_docs"
+            ),
+            F.coalesce("n_gram_hits", F.lit(0)).cast("int").alias(
+                "n_gram_hits"
+            ),
+        )
+    )
+
+
 def flag_contaminated_fuzzy(
     train_docs: DataFrame,
     eval_docs: DataFrame,

@@ -2926,6 +2926,112 @@ FROM f
 
 
 # --------------------------------------------------------------------------
+# 50e. eval_leak_report — the benchmark-owner's view of contamination
+#     (round 6): per EVAL document, how many training docs share a
+#     13-gram with it and the total overlap mass. Same split and gram
+#     width as decontaminated_docs (eval = doc_id % 23); the eval
+#     (id, gram) pairs broadcast, the training side never shuffles.
+# --------------------------------------------------------------------------
+
+
+def q_eval_leak_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.decontaminate import eval_leak_report
+
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    ev = docs.where(F.col("doc_id") % _DECON_EVAL_MOD == 0)
+    tr = docs.where(F.col("doc_id") % _DECON_EVAL_MOD != 0)
+    return eval_leak_report(tr, ev, n=_DECON_N)
+
+
+SQL_EVAL_LEAK_REPORT = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+  WHERE text IS NOT NULL
+), g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) < {_DECON_N} THEN []::VARCHAR[]
+              ELSE list_distinct([array_to_string(toks[i:i+{_DECON_N - 1}], ' ')
+                                  FOR i IN range(1, len(toks) - {_DECON_N} + 2)])
+         END AS grams
+  FROM tok
+), ev AS (
+  SELECT doc_id, grams FROM g WHERE doc_id % {_DECON_EVAL_MOD} = 0
+), trp AS (
+  SELECT doc_id AS train_id, unnest(grams) AS gram FROM g
+  WHERE doc_id % {_DECON_EVAL_MOD} <> 0
+), evp AS (
+  SELECT doc_id AS eval_id, unnest(grams) AS gram FROM ev
+), h AS (
+  SELECT eval_id,
+         count(DISTINCT train_id) AS n_leaking_docs,
+         count(*) AS n_gram_hits
+  FROM trp JOIN evp USING (gram)
+  GROUP BY eval_id
+)
+SELECT e.doc_id,
+       len(e.grams)::INT AS n_grams,
+       coalesce(h.n_leaking_docs, 0)::INT AS n_leaking_docs,
+       coalesce(h.n_gram_hits, 0)::INT AS n_gram_hits
+FROM ev e LEFT JOIN h ON e.doc_id = h.eval_id
+"""
+
+
+# --------------------------------------------------------------------------
+# 50f. source_token_kl — per-source distribution drift vs the corpus
+#     (operators/drift.py, round 6): KL of the Laplace-smoothed hashed-
+#     unigram distribution against the whole corpus', summed over the
+#     FULL bucket range. The md5 bucketization is the DSIR one DuckDB
+#     replays bit-identically; the dense grid is range(B) cross the
+#     source totals. Complements source_mixture_weights: mass says how
+#     MUCH a source has, KL says how DIFFERENT it is.
+# --------------------------------------------------------------------------
+
+_KL_BUCKETS = 4096
+
+
+def q_source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.drift import source_token_kl
+
+    return source_token_kl(
+        _docs(spark, sf_dir), group_col="source", buckets=_KL_BUCKETS
+    )
+
+
+SQL_SOURCE_TOKEN_KL = f"""
+WITH tok AS (
+  SELECT source AS grp, unnest(string_split(trim(text), ' ')) AS t
+  FROM documents WHERE text IS NOT NULL
+), b AS (
+  SELECT grp,
+         (cast(('0x' || substr(md5(t), 1, 12)) AS BIGINT)
+          % {_KL_BUCKETS})::INT AS b
+  FROM tok
+), cnt AS (
+  SELECT grp, b, count(*) AS c FROM b GROUP BY grp, b
+), gt AS (
+  SELECT grp, sum(c) AS n_s FROM cnt GROUP BY grp
+), gl AS (
+  SELECT b, sum(c) AS cb FROM cnt GROUP BY b
+), nn AS (
+  SELECT sum(c) AS n FROM cnt
+), grid AS (
+  SELECT gt.grp, gt.n_s, r.range::INT AS b
+  FROM gt CROSS JOIN range({_KL_BUCKETS}) r
+), j AS (
+  SELECT grid.grp, grid.n_s,
+         (coalesce(cnt.c, 0) + 1) / (grid.n_s + {_KL_BUCKETS}) AS p,
+         (coalesce(gl.cb, 0) + 1) / ((SELECT n FROM nn) + {_KL_BUCKETS}) AS q
+  FROM grid
+  LEFT JOIN cnt ON grid.grp = cnt.grp AND grid.b = cnt.b
+  LEFT JOIN gl ON grid.b = gl.b
+)
+SELECT grp AS source, n_s::BIGINT AS n_tokens,
+       round(sum(p * ln(p / q)), 4) AS kl_vs_corpus
+FROM j GROUP BY grp, n_s
+"""
+
+
+# --------------------------------------------------------------------------
 # 51. source_quality_report — the reference is at heart a REPORT generator
 #     (A5/A6 summary stats, /root/reference/analysis_engine.py); this is
 #     the web-domain composition report: per source, volume, exact-dup
@@ -3099,6 +3205,8 @@ QUERIES = {
     "host_pagerank_dangling": q_host_pagerank_dangling,
     "semantic_dedup_chain_docs": q_semantic_dedup_chain_docs,
     "gopher_repetition_flags": q_gopher_repetition_flags,
+    "eval_leak_report": q_eval_leak_report,
+    "source_token_kl": q_source_token_kl,
     "psl_domains": q_psl_domains,
     "source_quality_report": q_source_quality_report,
     "source_mixture_weights": q_source_mixture_weights,
@@ -3176,6 +3284,8 @@ ORACLES = {
     "host_pagerank_dangling": SQL_HOST_PAGERANK_DANGLING,
     "semantic_dedup_chain_docs": SQL_SEMANTIC_DEDUP_CHAIN_DOCS,
     "gopher_repetition_flags": SQL_GOPHER_REPETITION_FLAGS,
+    "eval_leak_report": SQL_EVAL_LEAK_REPORT,
+    "source_token_kl": SQL_SOURCE_TOKEN_KL,
     "psl_domains": SQL_PSL_DOMAINS,
     "source_quality_report": SQL_SOURCE_QUALITY_REPORT,
     "source_mixture_weights": SQL_SOURCE_MIXTURE_WEIGHTS,

@@ -828,3 +828,65 @@ def test_mixture_weights_sum_to_one(spark):
     ]
     assert len(weights) == 7
     assert sum(weights) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_eval_leak_report_counts(spark):
+    """Benchmark-owner decon view: per eval doc, leaking-train-doc and
+    gram-hit counts; zero-overlap and too-short eval docs covered."""
+    from name_deduplication_python_spark.operators.decontaminate import (
+        eval_leak_report,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    ev = spark.createDataFrame(
+        [
+            (100, base + " lambda mu"),        # leaked into docs 1 and 2
+            (101, "unrelated words only here no overlap at all present"),
+            (102, "too short"),                # < n tokens -> 0 grams
+        ],
+        ["doc_id", "text"],
+    )
+    tr = spark.createDataFrame(
+        [
+            (1, "prefix " + base + " suffix one"),
+            (2, base + " lambda tail"),
+            (3, "totally different training text with nothing shared"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in eval_leak_report(tr, ev, n=10).collect()
+    }
+    assert set(got) == {100, 101, 102}
+    assert got[100]["n_leaking_docs"] == 2
+    assert got[100]["n_gram_hits"] >= 2
+    assert got[101]["n_leaking_docs"] == 0 and got[101]["n_gram_hits"] == 0
+    assert got[102]["n_grams"] == 0 and got[102]["n_leaking_docs"] == 0
+    # gram accounting: eval doc 100 has 12 tokens -> 3 distinct 10-grams
+    assert got[100]["n_grams"] == 3
+
+
+def test_source_token_kl_orders_drift(spark):
+    """KL drift: a source distributionally identical to the corpus bulk
+    scores near 0; a disjoint-vocabulary source scores far higher; KL is
+    never negative (within float noise of the smoothed estimator)."""
+    from name_deduplication_python_spark.operators.drift import (
+        source_token_kl,
+    )
+
+    common = "the quick brown fox jumps over the lazy dog " * 20
+    rows = [(f"d{i}", "bulk", common) for i in range(8)]
+    rows += [("same", "mirror", common)]
+    rows += [("odd", "alien", "zxq wvu tsr qpo nml kji hgf edc " * 20)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    got = {
+        r["source"]: r.asDict()
+        for r in source_token_kl(docs, group_col="source", buckets=512).collect()
+    }
+    assert set(got) == {"bulk", "mirror", "alien"}
+    assert got["alien"]["kl_vs_corpus"] > got["mirror"]["kl_vs_corpus"]
+    assert got["alien"]["kl_vs_corpus"] > 0.5
+    for s in got.values():
+        assert s["kl_vs_corpus"] >= -1e-4
+        assert s["n_tokens"] > 0
