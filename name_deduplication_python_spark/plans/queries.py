@@ -2210,12 +2210,13 @@ LEFT JOIN agg ON agg.src = d.doc_id
 #     FULL Public-Suffix-List registrable domains (functions/psl.py,
 #     round 6: the same shipped rule snapshot rendered as a DuckDB
 #     CASE), keyword and digit scoring, and the blocklist all replayed
-#     in DuckDB. src2.com.sg is the PSL-distinguishing blocklist entry:
-#     under the old public-suffix-lite rules its domain collapsed to
-#     'com.sg' and the blocklist could never match it.
+#     in DuckDB. src10.com.sg is the PSL-distinguishing blocklist entry
+#     (doc_id%5==0 forces source = src{0,5,10,15}, so src10 DOES land on
+#     the com.sg branch): under the old public-suffix-lite rules its
+#     domain collapsed to 'com.sg' and the blocklist could never match.
 # --------------------------------------------------------------------------
 
-_URLF_BLOCKLIST = ("src3.com", "src5.co.uk", "src2.com.sg")
+_URLF_BLOCKLIST = ("src3.com", "src5.co.uk", "src10.com.sg")
 
 
 def _synth_url() -> "F.Column":
