@@ -37,6 +37,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# unit -> (split regex, rejoin separator). Paragraph mode treats any
+# blank-line run as ONE boundary and rebuilds with a single blank line
+# (documented normalization: a 3-newline run becomes 2 — the paragraph
+# STRUCTURE survives, the exact blank-run length does not).
+_UNITS = {
+    "line": ("\n", "\n"),
+    "paragraph": (r"(\r?\n){2,}", "\n\n"),
+}
+
+
+def _unit_spec(unit: str) -> tuple[str, str]:
+    if unit not in _UNITS:
+        raise ValueError(f"unit must be one of {sorted(_UNITS)}, got {unit!r}")
+    return _UNITS[unit]
+
 
 def repeated_lines(
     pages: DataFrame,
@@ -44,13 +59,17 @@ def repeated_lines(
     text_col: str = "text",
     min_docs: int = 2,
     exact: bool = False,
+    unit: str = "line",
 ) -> DataFrame:
-    """The boilerplate-line table: (line_key, n_docs, n_occurrences) for
-    every line appearing in >= min_docs distinct documents. line_key is
-    xxhash64(line) (or the line text when exact=True)."""
+    """The boilerplate-unit table: (line_key, n_docs, n_occurrences) for
+    every unit appearing in >= min_docs distinct documents. line_key is
+    xxhash64(unit text) (or the text itself when exact=True).
+    unit='paragraph' counts blank-line-separated blocks instead of
+    single lines (RefinedWeb-style paragraph boilerplate)."""
+    split_pat, _ = _unit_spec(unit)
     lines = pages.select(
         F.col(id_col),
-        F.explode(F.split(F.col(text_col), "\n")).alias("line"),
+        F.explode(F.split(F.col(text_col), split_pat)).alias("line"),
     ).where(F.trim("line") != "")
     key = F.col("line") if exact else F.xxhash64("line")
     return (
@@ -71,14 +90,19 @@ def dedup_lines(
     min_docs: int = 2,
     exact: bool = False,
     out_col: str | None = None,
+    unit: str = "line",
 ) -> DataFrame:
     """pages -> pages with ``text`` (or ``out_col``) rewritten to only the
-    lines NOT repeated across >= min_docs documents, original line order
-    preserved. Rows whose every line was boilerplate keep an empty string
-    (they are then dropped by the extract/signature empty-text rules)."""
+    units NOT repeated across >= min_docs documents, original order
+    preserved. Rows whose every unit was boilerplate keep an empty string
+    (they are then dropped by the extract/signature empty-text rules).
+    unit='paragraph' removes whole repeated paragraphs and rebuilds with
+    single blank lines between survivors (see _UNITS note)."""
     out_col = out_col or text_col
+    split_pat, join_sep = _unit_spec(unit)
     rep = repeated_lines(
-        pages, id_col=id_col, text_col=text_col, min_docs=min_docs, exact=exact
+        pages, id_col=id_col, text_col=text_col, min_docs=min_docs,
+        exact=exact, unit=unit,
     ).select("line_key")
     # NOTE no blank-line filter here: blank lines are excluded from the
     # repeated-lines TABLE (so they are never "boilerplate") but kept in
@@ -86,7 +110,7 @@ def dedup_lines(
     # the operator does not touch.
     lines = pages.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        F.posexplode(F.split(F.col(text_col), split_pat)).alias("pos", "line"),
     )
     key = F.col("line") if exact else F.xxhash64("line")
     kept = lines.withColumn("line_key", key).join(rep, "line_key", "left_anti")
@@ -94,7 +118,7 @@ def dedup_lines(
         kept.groupBy(id_col)
         .agg(
             F.concat_ws(
-                "\n",
+                join_sep,
                 F.transform(
                     F.sort_array(
                         F.collect_list(F.struct(F.col("pos"), F.col("line")))

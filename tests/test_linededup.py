@@ -74,3 +74,47 @@ def test_dedup_lines_plan_has_no_python(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_paragraph_unit_removes_repeated_paragraphs(spark):
+    """unit='paragraph': a multi-line paragraph repeated across docs is
+    removed WHOLE (its individual lines are not line-boilerplate since
+    they never repeat as single lines across enough docs in line mode);
+    unique paragraphs survive in order, rebuilt with single blank lines."""
+    from name_deduplication_python_spark.operators.linededup import (
+        dedup_lines,
+        repeated_lines,
+    )
+
+    footer = "contact us here\nall rights reserved"
+    docs = spark.createDataFrame(
+        [
+            ("a", f"alpha unique para\n\n{footer}\n\nmore alpha text"),
+            ("b", f"beta opening words\n\n\n{footer}"),
+            ("c", "gamma has no footer\n\ngamma second para"),
+        ],
+        ["url", "text"],
+    )
+    rep = repeated_lines(docs, unit="paragraph", exact=True).collect()
+    assert [r["line_key"] for r in rep] == [footer]
+
+    out = {
+        r["url"]: r["text"]
+        for r in dedup_lines(docs, unit="paragraph", exact=True).collect()
+    }
+    assert out["a"] == "alpha unique para\n\nmore alpha text"
+    assert out["b"] == "beta opening words"
+    assert out["c"] == "gamma has no footer\n\ngamma second para"
+
+    # line mode on the same corpus removes the footer LINES individually
+    # (each line repeats in 2 docs) — same cleaning, different unit
+    line_out = {
+        r["url"]: r["text"]
+        for r in dedup_lines(docs, exact=True).collect()
+    }
+    assert "contact us here" not in line_out["a"]
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        dedup_lines(docs, unit="sentence")
