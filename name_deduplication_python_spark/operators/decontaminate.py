@@ -25,8 +25,23 @@ Scale shape (the 100 TB plan):
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _mix64(h: "np.ndarray") -> "np.ndarray":
+    """Murmur3 fmix64 finalizer (public domain avalanche) over a uint64
+    array — spreads the rolling-polynomial gram key over all 64 bits so
+    the downstream equi-join key is uniformly distributed."""
+    h = h ^ (h >> np.uint64(33))
+    h = h * np.uint64(0xFF51AFD7ED558CCD)
+    h = h ^ (h >> np.uint64(33))
+    h = h * np.uint64(0xC4CEB9FE1A85EC53)
+    return h ^ (h >> np.uint64(33))
 
 
 def doc_ngram_hashes(
@@ -35,22 +50,86 @@ def doc_ngram_hashes(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """(id, gram_hashes array<bigint>) — DISTINCT xxhash64 hashes of all
+    """(id, gram_hashes array<bigint>) — DISTINCT 64-bit hashes of all
     n-token grams per document. Documents with fewer than n tokens have
     no n-gram and contribute an empty array (they cannot be
-    contaminated at width n — the Brown et al. convention)."""
-    toks = F.split(F.trim(F.col(text_col)), " ")
-    grams = F.when(
-        F.size(toks) < n, F.array().cast("array<bigint>")
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - n + 1),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))),
-        )
-    )
-    return docs.select(
-        F.col(id_col).alias("id"), F.array_distinct(grams).alias("gram_hashes")
-    )
+    contaminated at width n — the Brown et al. convention).
+
+    Round-7 shape (guide §4.2): token hashing runs JVM-side inside
+    codegen (``transform(split(trim(text), ' '), t -> xxhash64(t))`` —
+    the signature stage's proven prep), and the gram key is a degree-n
+    rolling polynomial over those token hashes + an fmix64 avalanche,
+    computed zero-copy over the Arrow list buffer in one mapInArrow
+    kernel. The round-6 form built every gram as a ~100-char
+    ``concat_ws`` STRING and xxhash64-ed it — O(n) char copying per
+    token position dominated both decontamination queries. The hash
+    VALUE changes (it never escapes the operator: both sides of the
+    gram join use this function, and only counts are emitted); equal
+    grams still collide never-miss, and spurious 64-bit collisions keep
+    the same ~|eval grams|/2^64 odds — token sequences map to gram keys
+    injectively modulo that bound, exactly as before."""
+    from .signatures import _rolling_poly
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    out_schema = f"id {id_type}, gram_hashes array<bigint>"
+    trimmed = F.trim(F.col(text_col))
+    th_col = F.when(
+        F.coalesce(F.length(trimmed), F.lit(0)) == 0,
+        F.expr("array()").cast("array<bigint>"),
+    ).otherwise(F.transform(F.split(trimmed, " "), lambda t: F.xxhash64(t)))
+    prepared = docs.select(F.col(id_col).alias("id"), th_col.alias("th"))
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            nd = rb.num_rows
+            if nd == 0:
+                continue
+            ids = rb.column(0)
+            la = rb.column(1)
+            if isinstance(la, pa.ChunkedArray):  # pragma: no cover
+                la = la.combine_chunks()
+            counts = la.value_lengths().fill_null(0).to_numpy().astype(np.int64)
+            th = la.flatten().to_numpy(zero_copy_only=False).view(np.uint64)
+            starts = np.zeros(nd + 1, dtype=np.int64)
+            np.cumsum(counts, out=starts[1:])
+            total = int(starts[-1])
+            n_grams = np.maximum(counts - (n - 1), 0)
+            if total == 0 or int(n_grams.sum()) == 0:
+                offs = np.zeros(nd + 1, dtype=np.int32)
+                empty = pa.ListArray.from_arrays(
+                    pa.array(offs), pa.array([], type=pa.int64())
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [ids, empty], names=["id", "gram_hashes"]
+                )
+                continue
+            with np.errstate(over="ignore"):
+                acc = _rolling_poly(th, n)
+                # valid gram positions: inside-doc windows of n tokens
+                valid = np.ones(total, dtype=bool)
+                ends = starts[1:]
+                for j in range(1, n):
+                    pos = ends - j
+                    sel = pos >= starts[:-1]
+                    valid[pos[sel]] = False
+                g = _mix64(acc[valid])
+            d = np.repeat(np.arange(nd, dtype=np.int64), n_grams)
+            order = np.lexsort((g, d))
+            gs, ds = g[order], d[order]
+            keep = np.ones(len(gs), dtype=bool)
+            keep[1:] = (gs[1:] != gs[:-1]) | (ds[1:] != ds[:-1])
+            per_doc = np.bincount(ds[keep], minlength=nd)
+            offs = np.zeros(nd + 1, dtype=np.int64)
+            np.cumsum(per_doc, out=offs[1:])
+            lst = pa.ListArray.from_arrays(
+                pa.array(offs, type=pa.int32()),
+                pa.array(gs[keep].view(np.int64), type=pa.int64()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [ids, lst], names=["id", "gram_hashes"]
+            )
+
+    return prepared.mapInArrow(gen, schema=out_schema)
 
 
 def eval_ngram_set(

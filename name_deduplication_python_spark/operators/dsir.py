@@ -89,7 +89,24 @@ def hashed_gram_buckets(
     """(id, buckets array<int>) — the hashed bag of n-grams per document,
     REPEATS KEPT (DSIR features are counts, unlike decontamination's
     distinct-gram sets). Documents shorter than n tokens contribute no
-    n-gram at that width."""
+    n-gram at that width.
+
+    The md5 path runs as a mapInPandas kernel (round 7): CPython's
+    hashlib md5 is a C implementation measured ~100x the throughput of
+    the JVM's INTERPRETED md5-conv-substring chain inside a
+    higher-order-function lambda (HOFs never enter whole-stage codegen,
+    so every gram paid interpreted expression dispatch — the sf1.0
+    featurize dropped ~13 s -> <1 s, and the JVM JIT's 20 s cold-start
+    on that interpreted path disappears with it). The bucket value is
+    bit-identical: int(md5(gram_utf8)[:12 hex], 16) % buckets, the same
+    gram strings (trim-space tokenize, space-joined n-grams), nulls
+    stay null — the DuckDB oracles replay it unchanged. The xxh64
+    scale path keeps the native JVM expression (xxhash64 is codegen-
+    cheap; no python round-trip needed)."""
+    if hash_fn == "md5":
+        return _hashed_gram_buckets_kernel(
+            docs, id_col=id_col, text_col=text_col, ns=ns, buckets=buckets
+        )
     # Gram assembly deliberately avoids three shapes that corrupt
     # md5 inputs on parquet-backed arrays (observed on Spark 4.1.2
     # local mode, bit-verified against hashlib + DuckDB):
@@ -135,12 +152,159 @@ def hashed_gram_buckets(
     return docs.select(F.col(id_col).alias("id"), grams.alias("buckets"))
 
 
+def _hashed_gram_buckets_kernel(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ns: tuple[int, ...] = (1, 2),
+    buckets: int = 10_000,
+) -> DataFrame:
+    """The md5 featurize kernel behind hashed_gram_buckets — see its
+    docstring for the equivalence contract."""
+    import hashlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    out_schema = f"id {id_type}, buckets array<int>"
+    ns = tuple(ns)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        md5 = hashlib.md5
+        fb = int.from_bytes
+
+        def h(s: str) -> int:
+            return fb(md5(s.encode()).digest()[:6], "big") % buckets
+
+        for pdf in batches:
+            out: list[list[int] | None] = []
+            for t in pdf[text_col]:
+                if t is None:
+                    out.append(None)
+                    continue
+                # engine tokenization: split(trim(text), ' ') — trim is
+                # space-only; empty text yields the single empty token,
+                # exactly like the SQL twin
+                toks = t.strip(" ").split(" ")
+                arr: list[int] = []
+                for n in ns:
+                    if n == 1:
+                        arr.extend(h(x) for x in toks)
+                    elif len(toks) >= n:
+                        arr.extend(
+                            h(" ".join(toks[i : i + n]))
+                            for i in range(len(toks) - n + 1)
+                        )
+                out.append(arr)
+            yield pd.DataFrame({"id": pdf[id_col], "buckets": out})
+
+    return docs.select(id_col, text_col).mapInPandas(gen, schema=out_schema)
+
+
 def _bucket_counts(bucket_frame: DataFrame) -> DataFrame:
     return (
         bucket_frame.select(F.explode("buckets").alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+
+
+def _collected_bucket_counts(bucket_frame: DataFrame, buckets: int) -> list[int]:
+    """Dense count vector over [0, buckets) from one map-combined
+    aggregate + one <= buckets-row collect (fit PARAMETERS, never data
+    rows — the IVF-centroid precedent)."""
+    cnts = [0] * buckets
+    for r in _bucket_counts(bucket_frame).collect():
+        cnts[r["bucket"]] = r["c"]
+    return cnts
+
+
+def fit_logratio_values_flagged(
+    bucket_frame: DataFrame,
+    is_target: Column,
+    buckets: int = 10_000,
+) -> list[float]:
+    """fit_logratio_values over ONE featurized frame carrying both
+    corpora, split by the ``is_target`` predicate — both count vectors
+    come back from a single explode + (flag, bucket) aggregate + one
+    <= 2B-row collect (half the fit's job count vs two separate count
+    jobs; the arithmetic is identical)."""
+    import math
+
+    ct, cr = _flagged_count_vectors(
+        bucket_frame.select(is_target.alias("_t"), "buckets"), buckets
+    )
+    tt, tr = float(ct.sum() + buckets), float(cr.sum() + buckets)
+    return [
+        math.log((c + 1) / tt) - math.log((r + 1) / tr)
+        for c, r in zip(ct.tolist(), cr.tolist())
+    ]
+
+
+def _flagged_count_vectors(flagged: DataFrame, buckets: int):
+    """(target_counts, raw_counts) uint64 vectors from a (_t bool,
+    buckets array<int>) frame: each TASK bincounts its partition locally
+    and ships back two <= buckets-long vectors — a map-only job whose
+    collect is O(tasks * buckets) parameter rows, replacing a
+    corpus-sized explode + (flag, bucket) shuffle (measured ~2.5 s of
+    pure small-task scheduling per fit at local[32])."""
+    import numpy as np
+
+    def gen(batches):
+        import pandas as pd
+
+        acc = {True: np.zeros(buckets, dtype=np.int64),
+               False: np.zeros(buckets, dtype=np.int64)}
+        seen = False
+        for pdf in batches:
+            for flag in (True, False):
+                arrs = [
+                    a for a, t in zip(pdf["buckets"], pdf["_t"])
+                    if bool(t) == flag and a is not None and len(a)
+                ]
+                if arrs:
+                    seen = True
+                    acc[flag] += np.bincount(
+                        np.concatenate(arrs).astype(np.int64),
+                        minlength=buckets,
+                    )
+        if seen:
+            yield pd.DataFrame(
+                {"t": [True, False], "c": [acc[True], acc[False]]}
+            )
+
+    ct = np.zeros(buckets, dtype=np.int64)
+    cr = np.zeros(buckets, dtype=np.int64)
+    for r in flagged.mapInPandas(gen, schema="t boolean, c array<long>").collect():
+        tgt = ct if r["t"] else cr
+        tgt += np.asarray(r["c"], dtype=np.int64)
+    return ct, cr
+
+
+def fit_logratio_values(
+    target_buckets: DataFrame,
+    raw_buckets: DataFrame,
+    buckets: int = 10_000,
+) -> list[float]:
+    """The DSIR log-ratio PARAMETER VECTOR over the full bucket spine:
+    logratio[b] = ln((ct+1)/(tt+B)) - ln((cr+1)/(tr+B)). One count
+    aggregate + collect per corpus side, the Laplace arithmetic in plain
+    driver python — the round-6 DataFrame spine (two joins, a totals
+    aggregate and a crossJoin over <= B rows) re-ran both corpus count
+    passes per consumer and scheduled five extra jobs for what is B
+    divisions. (libm vs JVM ln differ at most in the last ulp —
+    orders of magnitude inside every caller's 4-decimal rounding, and
+    the DuckDB oracle's ln is a third implementation already.)"""
+    import math
+
+    ct = _collected_bucket_counts(target_buckets, buckets)
+    cr = _collected_bucket_counts(raw_buckets, buckets)
+    tt, tr = float(sum(ct) + buckets), float(sum(cr) + buckets)
+    return [
+        math.log((c + 1) / tt) - math.log((r + 1) / tr)
+        for c, r in zip(ct, cr)
+    ]
 
 
 def fit_dsir_logratio_buckets(
@@ -152,30 +316,13 @@ def fit_dsir_logratio_buckets(
     the shape a pipeline should use: featurize each corpus once
     (hashed_gram_buckets, ideally materialized/checkpointed) and feed
     both the fit and the scoring pass from that frame, instead of
-    paying the md5 featurization twice on the 100 TB side."""
+    paying the md5 featurization twice on the 100 TB side. The spine
+    itself is computed by ``fit_logratio_values`` (each corpus side
+    counted exactly once) and returned as a B-row local frame."""
     spark = target_buckets.sparkSession
-    ct = _bucket_counts(target_buckets).withColumnRenamed("c", "ct")
-    cr = _bucket_counts(raw_buckets).withColumnRenamed("c", "cr")
-    spine = (
-        spark.range(buckets)
-        .select(F.col("id").cast("int").alias("bucket"))
-        .join(ct, "bucket", "left")
-        .join(cr, "bucket", "left")
-        .select(
-            "bucket",
-            F.coalesce("ct", F.lit(0)).alias("ct"),
-            F.coalesce("cr", F.lit(0)).alias("cr"),
-        )
-    )
-    tot = spine.agg(
-        F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
-    )
-    return spine.crossJoin(F.broadcast(tot)).select(
-        "bucket",
-        (
-            F.log((F.col("ct") + 1) / (F.col("tt") + F.lit(float(buckets))))
-            - F.log((F.col("cr") + 1) / (F.col("tr") + F.lit(float(buckets))))
-        ).alias("logratio"),
+    vals = fit_logratio_values(target_buckets, raw_buckets, buckets)
+    return spark.createDataFrame(
+        [(b, v) for b, v in enumerate(vals)], "bucket int, logratio double"
     )
 
 
@@ -206,13 +353,60 @@ def fit_dsir_logratio(
     )
 
 
+def lookup_sum_expr(
+    arr_col: str, values: list[float], zero: float = 0.0
+) -> Column:
+    """sum over an int-bucket ARRAY column of values[bucket] — the
+    map-only scoring shape shared by DSIR and the LM scorer: the fitted
+    per-bucket table is a PARAMETER vector (<= B doubles), so it rides
+    into the plan as ONE array literal and each document folds its own
+    bucket array with element_at + aggregate inside codegen. The
+    round-6 shape exploded every (doc, gram) row through a broadcast
+    join and re-aggregated per doc — a corpus-sized row stream and a
+    per-doc shuffle for what is arithmetic on data already grouped by
+    doc. Summation is in-document gram order (the exploded form summed
+    in arbitrary partition order; both land well inside the 4-decimal
+    rounding every caller applies — DuckDB's own sum order is a third
+    ordering and has always matched)."""
+    import numpy as np
+
+    # ndarray literal -> ONE ArrayType Literal node; a python list would
+    # build a B-child CreateArray (measured 2x slower through the fold)
+    lut = F.lit(np.asarray(values, dtype=np.float64))
+    return F.aggregate(
+        F.transform(F.col(arr_col), lambda b: F.element_at(lut, b + 1)),
+        F.lit(zero),
+        lambda acc, x: acc + x,
+    )
+
+
+# literal-lookup ceiling: beyond this many buckets fall back to the
+# broadcast-join scoring shape (a multi-MB plan literal stops paying)
+_LOOKUP_MAX_BUCKETS = 65536
+
+
 def dsir_weights_buckets(
     bucket_frame: DataFrame,
     logratio: DataFrame,
     id_col: str = "doc_id",
 ) -> DataFrame:
     """dsir_weights over a PRE-FEATURIZED (id, buckets) frame — pair
-    with fit_dsir_logratio_buckets to featurize the raw corpus once."""
+    with fit_dsir_logratio_buckets to featurize the raw corpus once.
+
+    The fitted logratio spine is collected once (<= buckets parameter
+    rows — the IVF-centroid precedent, never data rows) and applied
+    map-only via ``lookup_sum_expr``; corpora fitted with an unusually
+    wide bucket space keep the broadcast-join path."""
+    rows = logratio.collect()
+    if len(rows) <= _LOOKUP_MAX_BUCKETS:
+        vals = [0.0] * (max((r["bucket"] for r in rows), default=-1) + 1)
+        for r in rows:
+            vals[r["bucket"]] = r["logratio"]
+        return bucket_frame.select(
+            F.col("id").alias(id_col),
+            F.size("buckets").alias("n_grams"),
+            lookup_sum_expr("buckets", vals).alias("dsir_logweight"),
+        )
     exploded = bucket_frame.select(
         "id",
         F.size("buckets").alias("n_grams"),

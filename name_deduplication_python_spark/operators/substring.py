@@ -49,6 +49,67 @@ def winnow_fingerprints_np(
     return np.unique(winnow_anchors_np(text, gram_chars, window)[0])
 
 
+def _batch_winnow_anchors(
+    texts, gram_chars: int = 64, window: int = 32
+) -> list[tuple[np.ndarray, np.ndarray]]:
+    """winnow_anchors_np over a whole Arrow batch of texts at once —
+    bit-identical selection, one rolling-hash pass (round 7).
+
+    The per-doc kernel pays gram_chars (=64) numpy dispatches per
+    DOCUMENT for the Rabin-Karp accumulate; at 500-2000-char web pages
+    that dispatch overhead dominated the whole anchor stage. Here all
+    long-enough docs concatenate into ONE flat code-point array, the
+    64-step accumulate runs once over it, and each doc then slices its
+    own valid window range (positions whose g-gram would cross a doc
+    boundary are simply never selected — the slice stops at
+    n_d - g + 1, so the polynomial values in range are exactly the
+    per-doc ones). Docs shorter than gram_chars keep the per-doc path
+    (their g adapts to the doc length; they are cheap by definition)."""
+    res: list[tuple[np.ndarray, np.ndarray] | None] = [None] * len(texts)
+    longs: list[int] = []
+    codes_list: list[np.ndarray] = []
+    empty = (np.array([], dtype=np.uint64), np.array([], dtype=np.int64))
+    for i, t in enumerate(texts):
+        if not t:
+            res[i] = empty
+            continue
+        c = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+        if len(c) <= gram_chars:
+            res[i] = winnow_anchors_np(t, gram_chars, window)
+        else:
+            longs.append(i)
+            codes_list.append(c.astype(np.uint64))
+    if longs:
+        g = gram_chars
+        lens = np.fromiter((len(c) for c in codes_list), dtype=np.int64)
+        starts = np.zeros(len(longs) + 1, dtype=np.int64)
+        np.cumsum(lens, out=starts[1:])
+        flat = np.concatenate(codes_list)
+        with np.errstate(over="ignore"):
+            acc = np.zeros(len(flat), dtype=np.uint64)
+            for j in range(g):
+                shifted = np.empty_like(flat)
+                if j == 0:
+                    shifted[:] = flat
+                else:
+                    shifted[:-j] = flat[j:]
+                    shifted[-j:] = 0
+                acc = acc * _B + shifted
+        for d, i in enumerate(longs):
+            m = int(lens[d]) - g + 1
+            a = acc[starts[d] : starts[d] + m]
+            if m <= window:
+                p = int(a.argmin())
+                res[i] = (a[p : p + 1], np.array([p], dtype=np.int64))
+            else:
+                sw = np.lib.stride_tricks.sliding_window_view(a, window)
+                sel = np.unique(
+                    sw.argmin(axis=1) + np.arange(len(sw), dtype=np.int64)
+                )
+                res[i] = (a[sel], sel)
+    return res  # type: ignore[return-value]
+
+
 def fingerprint_stage(
     extracted: DataFrame,
     id_col: str = "url",
@@ -64,15 +125,16 @@ def fingerprint_stage(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            anchors = _batch_winnow_anchors(
+                list(pdf[text_col]), gram_chars, window
+            )
             ids: list[str] = []
             fps: list[np.ndarray] = []
-            for i, t in zip(pdf[id_col].astype(str), pdf[text_col]):
-                if not t:
-                    continue
-                f = winnow_fingerprints_np(t, gram_chars, window)
-                if len(f):
-                    ids.extend([i] * len(f))
-                    fps.append(f)
+            for i, (f, _) in zip(pdf[id_col].astype(str), anchors):
+                fu = np.unique(f)
+                if len(fu):
+                    ids.extend([i] * len(fu))
+                    fps.append(fu)
             if not ids:
                 continue
             yield pd.DataFrame(
@@ -169,13 +231,13 @@ def anchor_stage(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            anchors = _batch_winnow_anchors(
+                list(pdf[text_col]), gram_chars, window
+            )
             ids: list[str] = []
             fps: list[np.ndarray] = []
             poss: list[np.ndarray] = []
-            for i, t in zip(pdf[id_col].astype(str), pdf[text_col]):
-                if not t:
-                    continue
-                f, p = winnow_anchors_np(t, gram_chars, window)
+            for i, (f, p) in zip(pdf[id_col].astype(str), anchors):
                 if len(f):
                     ids.extend([i] * len(f))
                     fps.append(f)

@@ -804,6 +804,33 @@ def _shingle_sets(docs: DataFrame, k: int = _SHINGLE_K) -> DataFrame:
     return docs.select("doc_id", F.array_distinct(sh).alias("sh"))
 
 
+def _shingle_hash_sets(docs: DataFrame, k: int = _SHINGLE_K) -> DataFrame:
+    """_shingle_sets with every shingle mapped to its xxhash64 (round 7):
+    the exact-verify joins only ever take SIZES and INTERSECTION COUNTS
+    of these sets, which are hash-invariant (separator-joined shingles
+    map to token sequences injectively, so equal-hash <=> equal-shingle
+    up to the engine-wide 64-bit collision budget) — but the arrays
+    shuffle as 8 B longs instead of ~35 B strings and array_intersect
+    compares longs, not strings. The SQL oracles keep brute-forcing the
+    STRING shingles; the jaccard arithmetic on (|A|, |B|, |A∩B|) is
+    unchanged."""
+    t = F.expr(_TOK)
+    sh = F.when(
+        F.size(t) < k, F.array(F.concat_ws(_SHINGLE_SEP, t))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - k + 1),
+            lambda i: F.concat_ws(_SHINGLE_SEP, F.slice(t, i, k)),
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(sh, lambda s: F.xxhash64(s))
+        ).alias("sh"),
+    )
+
+
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs, EXACT-verified at k-shingle Jaccard >=
     theta: banding (the engine's real signature kernel + band hashing)
@@ -832,10 +859,27 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidate_pairs canonicalized by STRING url order ("245" < "8");
     # re-canonicalize numerically to match the oracle's a.doc_id < b.doc_id
     s, d = F.col("src").cast("bigint"), F.col("dst").cast("bigint")
+    # candidate pairs are O(dup-rate x n) — materialize them once (they
+    # feed the member prune AND the verify join; unmaterialized, the
+    # sigs -> band -> bucket pipeline re-ran per consumer)
     pairs = pairs.select(
         F.least(s, d).alias("src"), F.greatest(s, d).alias("dst")
+    ).localCheckpoint()
+    # build shingle sets ONLY for docs that appear in a candidate pair
+    # (round 7): the join planner broadcasts the tiny pair side, so both
+    # join branches previously STREAMED a full-corpus shingle build —
+    # 2x ~1000 interpreted concat+hash per document for a pair set
+    # touching a few percent of docs (measured 17 s of the query's 19 s
+    # at sf1.0). One semi-join prune + one checkpointed build replaces
+    # both; the pair set and the verify arithmetic are unchanged.
+    members = (
+        pairs.select(F.col("src").alias("doc_id"))
+        .union(pairs.select(F.col("dst").alias("doc_id")))
+        .distinct()
     )
-    sh = _shingle_sets(_docs(spark, sf_dir))
+    sh = _shingle_hash_sets(
+        _docs(spark, sf_dir).join(F.broadcast(members), "doc_id", "semi")
+    ).localCheckpoint()
     a = sh.select(F.col("doc_id").alias("src"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("dst"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -1989,33 +2033,35 @@ _DSIR_TARGET_MOD = 17
 
 def q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dsir import (
-        dsir_weights_buckets,
-        fit_dsir_logratio_buckets,
+        fit_logratio_values_flagged,
         hashed_gram_buckets,
+        lookup_sum_expr,
     )
 
     # null-text docs excluded on both sides (same contract as ccnet_lm_ppl:
     # the Spark explode drops them; the oracle would emit them with NULLs)
     docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
-    target = docs.where(F.col("doc_id") % _DSIR_TARGET_MOD == 0)
-    raw = docs.where(F.col("doc_id") % _DSIR_TARGET_MOD != 0)
-    # featurize the raw side ONCE (it feeds both the fit counts and the
-    # scoring pass); md5 featurization dominates this query's cost, and
-    # the testdata parquet is a single small file -> single scan
-    # partition, so spread the compute before hashing (at production
-    # scale the input arrives in thousands of splits and this
-    # repartition is a no-op to remove)
+    # featurize the WHOLE corpus exactly once (round 7; both the fit
+    # counts and the scoring pass read this checkpoint — md5
+    # featurization dominates this query's cost). The testdata parquet
+    # is a single small file -> few scan partitions, so spread the
+    # compute before hashing (at production scale the input arrives in
+    # thousands of splits and this repartition is a no-op to remove).
     par = spark.sparkContext.defaultParallelism
-    raw_b = hashed_gram_buckets(
-        raw.repartition(par), buckets=_DSIR_BUCKETS
+    all_b = hashed_gram_buckets(
+        docs.repartition(par), buckets=_DSIR_BUCKETS
     ).localCheckpoint()
-    tgt_b = hashed_gram_buckets(target, buckets=_DSIR_BUCKETS)
-    lr = fit_dsir_logratio_buckets(tgt_b, raw_b, buckets=_DSIR_BUCKETS)
-    w = dsir_weights_buckets(raw_b, lr)
-    return w.select(
-        "doc_id",
-        "n_grams",
-        F.round("dsir_logweight", 4).alias("dsir_logweight"),
+    raw_b = all_b.where(F.col("id") % _DSIR_TARGET_MOD != 0)
+    # fit = ONE flagged count job + one <= 2B-row parameter collect off
+    # the checkpoint; scoring = one map-only literal-lookup fold — no
+    # gram explode, no broadcast join, no per-doc shuffle
+    vals = fit_logratio_values_flagged(
+        all_b, F.col("id") % _DSIR_TARGET_MOD == 0, buckets=_DSIR_BUCKETS
+    )
+    return raw_b.select(
+        F.col("id").alias("doc_id"),
+        F.size("buckets").alias("n_grams"),
+        F.round(lookup_sum_expr("buckets", vals), 4).alias("dsir_logweight"),
     )
 
 
@@ -2128,8 +2174,19 @@ def q_fuzzy_decontaminated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = candidate_pairs_two_table(
         keys.where(~ev_pred), keys.where(ev_pred).hint("broadcast"),
         id_col="url",
+    ).localCheckpoint()
+    # same member-prune as q_minhash_lsh_pairs: shingle sets built once,
+    # only for docs appearing in a train/eval candidate (the broadcast
+    # pair side otherwise streams two full-corpus shingle builds)
+    members = (
+        cands.select(F.col("src").alias("url"))
+        .union(cands.select(F.col("dst").alias("url")))
+        .distinct()
+        .select(F.col("url").cast("bigint").alias("doc_id"))
     )
-    sh = _shingle_sets(_docs(spark, sf_dir))
+    sh = _shingle_hash_sets(
+        _docs(spark, sf_dir).join(F.broadcast(members), "doc_id", "semi")
+    ).localCheckpoint()
     a = sh.select(
         F.col("doc_id").cast("string").alias("src"), F.col("sh").alias("sh_a")
     )
@@ -2309,20 +2366,29 @@ _LMQ_REF_MOD = 17
 
 
 def q_ccnet_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.lm_quality import fit_bucket_lm, lm_log_ppl
+    from ..operators.dsir import hashed_gram_buckets, lookup_sum_expr
+    from ..operators.lm_quality import fit_lm_values
 
-    # null-text docs are unscoreable and excluded on BOTH sides (the
-    # Spark explode drops them naturally; the SQL filters explicitly)
+    # null-text docs are unscoreable and excluded on BOTH sides
     docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
-    ref = docs.where(F.col("doc_id") % _LMQ_REF_MOD == 0)
-    lm = fit_bucket_lm(ref, buckets=_LMQ_BUCKETS)
-    # spread the single small testdata split before the md5 featurize
-    # (same rationale as q_dsir_scores: at production scale the input
-    # arrives pre-split and this repartition is a no-op to remove)
+    # round 7: featurize the WHOLE corpus exactly once (checkpoint feeds
+    # both the reference count and the scoring pass — the round-6 shape
+    # md5-featurized the reference slice a second time on the scan's few
+    # file splits); spread the single small testdata split first (a
+    # no-op to remove at production scale where input arrives pre-split)
     par = spark.sparkContext.defaultParallelism
-    scored = lm_log_ppl(docs.repartition(par), lm, buckets=_LMQ_BUCKETS)
-    return scored.select(
-        "doc_id", "n_tokens", F.round("log_ppl", 4).alias("log_ppl")
+    all_b = hashed_gram_buckets(
+        docs.repartition(par), ns=(1,), buckets=_LMQ_BUCKETS
+    ).localCheckpoint()
+    vals = fit_lm_values(
+        all_b.where(F.col("id") % _LMQ_REF_MOD == 0), _LMQ_BUCKETS
+    )
+    # scoring: one map-only literal-lookup fold, no explode, no join
+    n_tok = F.size("buckets")
+    return all_b.where(n_tok > 0).select(
+        F.col("id").alias("doc_id"),
+        n_tok.alias("n_tokens"),
+        F.round(-lookup_sum_expr("buckets", vals) / n_tok, 4).alias("log_ppl"),
     )
 
 

@@ -42,6 +42,19 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # InferFiltersFromGenerate synthesizes `size(e) > 0 AND
+        # isnotnull(e)` below every explode(e) and pushes it toward the
+        # scan; when e is a COMPUTED array (md5 gram featurization, the
+        # 25-slice band-hash array) the whole construction is re-evaluated
+        # up to twice more per row — measured 3x the md5 featurize cost in
+        # the DSIR/LM/KL queries (plan showed md5 6x instead of 2x) and a
+        # duplicate band-hash pass under the LSH explode. The filter only
+        # ever drops empty-array rows that explode() drops anyway — pure
+        # overhead for every generator this engine plans.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # 512-row Arrow batches keep the signature kernel's working set

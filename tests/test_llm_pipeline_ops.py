@@ -416,7 +416,10 @@ def test_dsir_scoring_plan_is_python_free_and_broadcasts(spark, dsir_corpus):
     lr = fit_dsir_logratio(target, raw, buckets=64)
     plan = _plan(dsir_weights(raw, lr, buckets=64))
     assert not any(m in plan for m in _PY_MARKERS)
-    assert "BroadcastHashJoin" in plan      # ratio table never shuffles docs
+    # round 7: the B-row ratio table is a collected parameter literal —
+    # scoring is map-only (no join, no gram explode, no shuffle at all)
+    assert "Join" not in plan and "Exchange" not in plan
+    assert "aggregate(transform(" in plan   # the literal-lookup fold
 
 
 # --------------------------------------------------------------------------
@@ -643,7 +646,10 @@ def test_lm_scoring_plan_is_python_free_and_broadcasts(spark, lmq_corpus):
     lm = fit_bucket_lm(ref, buckets=256)
     plan = _plan(lm_log_ppl(lmq_corpus, lm, buckets=256))
     assert not any(m in plan for m in _PY_MARKERS)
-    assert "BroadcastHashJoin" in plan  # B-row LM never shuffles the docs
+    # round 7: the B-row LM is a collected parameter literal — scoring
+    # is map-only (no join, no per-token explode, no shuffle at all)
+    assert "Join" not in plan and "Exchange" not in plan
+    assert "aggregate(transform(" in plan  # the literal-lookup fold
 
 
 def test_ppl_tiers_rejects_bad_fractions(spark, lmq_corpus):

@@ -175,3 +175,39 @@ def test_dedup_spans_pipeline_flag(spark, tmp_path):
     ex = spark.read.parquet(os.path.join(wd, "extracted"))
     assert sr.count() == ex.count()
     assert "text" in sr.columns
+
+
+def test_batch_winnow_matches_per_doc_kernel():
+    """Round-7 batched anchor kernel == the per-doc reference on every
+    doc shape: empty, shorter than gram, exactly gram, long, non-ASCII,
+    repeated content (the selection and the hash values must be
+    bit-identical — the shared-anchor guarantee rides on them)."""
+    import random
+
+    import numpy as np
+
+    from name_deduplication_python_spark.operators.substring import (
+        _batch_winnow_anchors,
+        winnow_anchors_np,
+    )
+
+    rng = random.Random(9)
+    words = ["alpha", "beta", "gamma", "δέλτα", "ε", "zz"]
+    texts = [
+        "",
+        None,
+        "short",
+        "x" * 64,
+        "x" * 63,
+        "x" * 65,
+        "héllo wörld " * 40,
+        ("boiler plate run " * 30) + "unique tail",
+        " ".join(rng.choice(words) for _ in range(500)),
+        " ".join(rng.choice(words) for _ in range(31)),
+    ]
+    for g, w in ((64, 32), (16, 8), (8, 4)):
+        got = _batch_winnow_anchors(texts, g, w)
+        for t, (gf, gp) in zip(texts, got):
+            wf, wp = winnow_anchors_np(t or "", g, w)
+            assert np.array_equal(gf, wf), (g, w, t)
+            assert np.array_equal(gp, wp), (g, w, t)
