@@ -305,6 +305,25 @@ def compute_signatures_np(
     )
 
 
+def collapse_hash_exprs(id_col: str = "url", hash_bits: int = 64) -> dict:
+    """The signature-content hash columns signature_collapse groups on,
+    exposed so the SIGNATURE stage can compute them in its own map pass
+    (round 7): the collapse stage then scans two 8-byte columns instead
+    of re-reading and re-hashing the 512 B minhash arrays (~90% of the
+    exact_map stage's input bytes at the bench corpus)."""
+    empty = F.col("n_shingles") <= 0
+    out = {
+        "sig_h": F.when(
+            ~empty, F.xxhash64("minhash", "simhash", "n_shingles")
+        ).otherwise(F.xxhash64(F.lit("empty:"), id_col))
+    }
+    if hash_bits == 128:
+        out["sig_h2"] = F.when(
+            ~empty, F.xxhash64(F.lit("seed2:"), "minhash", "simhash", "n_shingles")
+        ).otherwise(F.xxhash64(F.lit("empty2:"), id_col))
+    return out
+
+
 def signature_collapse(
     sigs: DataFrame, id_col: str = "url", hash_bits: int = 64
 ) -> DataFrame:
@@ -348,20 +367,16 @@ def signature_collapse(
     """
     if hash_bits not in (64, 128):
         raise ValueError(f"hash_bits must be 64 or 128, got {hash_bits}")
-    empty = F.col("n_shingles") <= 0
-    h = F.when(
-        ~empty, F.xxhash64("minhash", "simhash", "n_shingles")
-    ).otherwise(F.xxhash64(F.lit("empty:"), id_col))
-    grp = ["sig_h"]
-    cols = [F.col(id_col).alias("url"), h.alias("sig_h")]
-    if hash_bits == 128:
-        # a second independently-seeded 64-bit hash (seed folded in as an
-        # extra hashed column); grouping on BOTH longs is the 128-bit key
-        h2 = F.when(
-            ~empty, F.xxhash64(F.lit("seed2:"), "minhash", "simhash", "n_shingles")
-        ).otherwise(F.xxhash64(F.lit("empty2:"), id_col))
-        cols.append(h2.alias("sig_h2"))
-        grp.append("sig_h2")
+    # a signature frame that already carries the content-hash columns
+    # (collapse_hash_exprs, computed during the signature write) collapses
+    # from the narrow columns alone — no minhash-array re-read/re-hash;
+    # the 128 mode's second column is the independently-seeded twin
+    exprs = collapse_hash_exprs(id_col=id_col, hash_bits=hash_bits)
+    grp = list(exprs)
+    cols = [F.col(id_col).alias("url")] + [
+        (F.col(name) if name in sigs.columns else expr).alias(name)
+        for name, expr in exprs.items()
+    ]
     from pyspark.sql import Window
 
     # window-min instead of groupBy+self-join (round 7): the join form

@@ -158,7 +158,12 @@ def substring_pairs(
     Returns (src, dst, n_shared_fps). Reuses the skew-guarded bucket
     pairing from the LSH stage by treating (fp) as the band key.
     """
-    fps = fingerprint_stage(extracted, id_col, text_col, gram_chars, window)
+    # the fingerprint table feeds THREE consumers (bucket keys + both
+    # sides of the shared-count join) — materialize the kernel output
+    # once instead of re-winnowing the corpus per branch
+    fps = fingerprint_stage(
+        extracted, id_col, text_col, gram_chars, window
+    ).localCheckpoint()
     keys = fps.select(id_col, F.col("fp").alias("bh"))
     pairs, _ = candidate_pairs(keys, id_col=id_col, bucket_cap=bucket_cap, with_stats=False)
     # count shared fingerprints per pair for ranking/auditing
@@ -271,7 +276,10 @@ def shared_spans(
     winnowing detection guarantee) are never cut. Spans from different
     pairs/anchors may overlap — the cut stage merges them."""
     min_run = min_run if min_run is not None else gram_chars + window - 1
-    anchors = anchor_stage(extracted, id_col, text_col, gram_chars, window)
+    # three consumers (bucket keys + both anchor-join sides): winnow once
+    anchors = anchor_stage(
+        extracted, id_col, text_col, gram_chars, window
+    ).localCheckpoint()
     keys = anchors.select(id_col, F.col("fp").alias("bh")).distinct()
     pairs, _ = candidate_pairs(
         keys, id_col=id_col, bucket_cap=bucket_cap, with_stats=False

@@ -355,6 +355,25 @@ class DedupPipeline:
 
     # ---- stages ----------------------------------------------------------
 
+    def _with_collapse_hashes(self, sig_df: DataFrame) -> DataFrame:
+        """Append the exact-collapse content-hash columns to the
+        signature stage output (round 7): computed in the same map pass
+        that already holds the minhash array in memory, so the exact_map
+        stage scans (url, sig_h[, sig_h2]) — ~8 B/doc — instead of
+        re-reading and re-hashing the 512 B minhash payload (~90% of
+        that stage's input bytes). signature_collapse picks the columns
+        up when present and falls back to computing them for pre-round-7
+        checkpoints."""
+        if not self.cfg.exact_collapse:
+            return sig_df
+        from .operators.signatures import collapse_hash_exprs
+
+        for name, expr in collapse_hash_exprs(
+            id_col="url", hash_bits=self.cfg.collapse_hash_bits
+        ).items():
+            sig_df = sig_df.withColumn(name, expr)
+        return sig_df
+
     def _exact_map_stage(self, sigs: DataFrame) -> DataFrame:
         """Materialize the exact-duplicate map (url, rep) from signature
         content (operators.signatures.signature_collapse). Materialized
@@ -398,11 +417,13 @@ class DedupPipeline:
         else:
             sigs = self._materialize(
                 "signatures",
-                signature_stage(
-                    extracted,
-                    num_hashes=cfg.num_hashes,
-                    shingle_k=cfg.shingle_k,
-                    seed=cfg.seed,
+                self._with_collapse_hashes(
+                    signature_stage(
+                        extracted,
+                        num_hashes=cfg.num_hashes,
+                        shingle_k=cfg.shingle_k,
+                        seed=cfg.seed,
+                    )
                 ),
             )
 
@@ -568,11 +589,13 @@ class DedupPipeline:
         else:
             sigs = self._materialize(
                 "signatures",
-                signature_stage(
-                    extract_stage(pages),
-                    num_hashes=cfg.num_hashes,
-                    shingle_k=cfg.shingle_k,
-                    seed=cfg.seed,
+                self._with_collapse_hashes(
+                    signature_stage(
+                        extract_stage(pages),
+                        num_hashes=cfg.num_hashes,
+                        shingle_k=cfg.shingle_k,
+                        seed=cfg.seed,
+                    )
                 ),
             )
 
