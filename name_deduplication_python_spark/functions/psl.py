@@ -160,9 +160,16 @@ def registered_domain_expr(host: Column, rules: PslRules) -> Column:
     labels = F.split(host, r"\.")
     n = F.size(labels)
     ps = public_suffix_len_expr(host, rules)
-    return F.when(
-        n > ps, F.array_join(F.slice(labels, n - ps, ps + 1), ".")
-    ).otherwise(host)
+    # ONE embedding of the (large) public-suffix CASE instead of two
+    # (round 7 — the condition+slice form doubled the expression tree,
+    # and analyzer/codegen time scales with it; ~2 s of per-execution
+    # fixed cost at the shipped 554-rule snapshot). Value-identical:
+    # n > ps  -> start n-ps, slice to array end == the old ps+1 window;
+    # n <= ps -> start 1, all labels — and join(split(host,'.'),'.')
+    # reconstructs host exactly (split on the literal dot is lossless).
+    return F.array_join(
+        F.slice(labels, F.greatest(n - ps, F.lit(1)), n), "."
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -92,7 +92,9 @@ def registered_domain(host: Column, psl=None) -> Column:
     )
 
 
-def url_quality_flags(url: Column, psl=None) -> dict[str, Column]:
+def url_quality_flags(
+    url: Column, psl=None, host: Column | None = None
+) -> dict[str, Column]:
     """Per-URL native scoring columns (RefinedWeb §3.1 word-based URL
     scoring shape):
 
@@ -104,7 +106,11 @@ def url_quality_flags(url: Column, psl=None) -> dict[str, Column]:
                     digit-heavy; round 4 so any engine replays it)
       url_len       total URL length (mile-long tracking URLs)
     """
-    host = host_of(url)
+    # host: pass a pre-projected COLUMN to avoid replicating the
+    # regexp-extract subtree into every consumer (the PSL domain CASE
+    # alone references the host ~50x; with the inline expression the
+    # analyzer/codegen walked the full host tree at every reference)
+    host = host_of(url) if host is None else host
     lower = F.lower(url)
     kw = sum(
         (F.when(lower.contains(k), 1).otherwise(0) for k in BLOCK_KEYWORDS),
@@ -145,9 +151,18 @@ def filter_urls(
     (UT1 and friends) match correctly on co.nz/com.sg/wildcard hosts
     only under PSL rules.
     """
-    flags = url_quality_flags(F.col(url_col), psl=psl)
-    scored = docs.select(
-        "*", *(v.alias(k) for k, v in flags.items())
+    # two-step projection (round 7): materialize `host` as a plain
+    # column first, then score off it — CollapseProject keeps the split
+    # because the non-cheap host expression is multiply referenced, so
+    # the domain CASE and the digit ratio reference an AttributeReference
+    # instead of inlining the regexp tree (per-execution planning/codegen
+    # cost of url_filtered_docs dropped ~4 s -> ~1 s; values unchanged)
+    staged = docs.select("*", host_of(F.col(url_col)).alias("host"))
+    flags = url_quality_flags(
+        F.col(url_col), psl=psl, host=F.col("host")
+    )
+    scored = staged.select(
+        "*", *(v.alias(k) for k, v in flags.items() if k != "host")
     ).where(
         (F.col("kw_hits") <= max_kw_hits)
         & (F.col("digit_ratio") <= max_digit_ratio)
